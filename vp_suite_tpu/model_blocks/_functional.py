@@ -1,0 +1,82 @@
+r"""Functional conv/norm helpers for recurrent cell internals.
+
+Recurrent blocks in this framework create their parameters explicitly (via
+``flax`` ``self.param``) and run their time loops as pure ``jax.lax.scan``
+bodies closing over those arrays. These helpers implement the raw ops with
+PyTorch-parity semantics (see ``vp_suite_tpu/nn/layers.py`` for the module
+versions and the parity rationale).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vp_suite_tpu.nn.layers import torch_kernel_init, torch_bias_init, _pair
+
+
+def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, padding_mode="constant"):
+    r"""NHWC conv with torch Conv2d semantics. kernel: [kh, kw, in, out]."""
+    s = _pair(stride)
+    p = _pair(padding)
+    d = _pair(dilation)
+    if padding_mode == "constant":
+        pad = [(p[0], p[0]), (p[1], p[1])]
+    else:
+        mode = "edge" if padding_mode == "replicate" else padding_mode
+        x = jnp.pad(x, [(0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)], mode=mode)
+        pad = [(0, 0), (0, 0)]
+    y = lax.conv_general_dilated(x, kernel.astype(x.dtype), window_strides=s, padding=pad,
+                                 rhs_dilation=d, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def conv_transpose2d(x, kernel, bias=None, stride=1, padding=0, output_padding=0):
+    r"""NHWC transposed conv with torch ConvTranspose2d semantics.
+    kernel: [kh, kw, in, out]."""
+    k = (kernel.shape[0], kernel.shape[1])
+    s = _pair(stride)
+    p = _pair(padding)
+    op = _pair(output_padding)
+    flipped = jnp.flip(kernel, axis=(0, 1))
+    pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(2)]
+    y = lax.conv_general_dilated(x, flipped.astype(x.dtype), window_strides=(1, 1),
+                                 padding=pad, lhs_dilation=s,
+                                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def group_norm(x, scale, bias, num_groups, eps=1e-5):
+    r"""GroupNorm over NHWC (torch parity)."""
+    c = x.shape[-1]
+    g = num_groups
+    orig_shape = x.shape
+    xg = x.reshape(*orig_shape[:-1], g, c // g)
+    red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+    mean = xg.mean(axis=red, keepdims=True)
+    var = xg.var(axis=red, keepdims=True)
+    xn = ((xg - mean) * lax.rsqrt(var + eps)).reshape(orig_shape)
+    return xn * scale + bias
+
+
+def layer_norm_chw(x, scale, bias, eps=1e-5):
+    r"""torch LayerNorm([c,h,w]) parity on NHWC; scale/bias [h, w, c]."""
+    mean = x.mean(axis=(-3, -2, -1), keepdims=True)
+    var = x.var(axis=(-3, -2, -1), keepdims=True)
+    return (x - mean) * lax.rsqrt(var + eps) * scale + bias
+
+
+def make_conv_params(module, name, in_c, out_c, kernel_size, use_bias=True):
+    r"""Creates torch-initialized conv params on a flax module; returns
+    (kernel, bias-or-None)."""
+    k = _pair(kernel_size)
+    kernel = module.param(f"{name}_kernel", torch_kernel_init, (*k, in_c, out_c))
+    bias = None
+    if use_bias:
+        fan_in = in_c * k[0] * k[1]
+        bias = module.param(f"{name}_bias", torch_bias_init(fan_in), (out_c,))
+    return kernel, bias

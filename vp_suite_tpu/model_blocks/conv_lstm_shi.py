@@ -1,0 +1,110 @@
+r"""Convolutional LSTM (Shi et al.) — TPU-native scan implementation.
+
+Capability parity with the reference block
+(``vp_suite/model_blocks/conv_lstm_hzzone.py:7-71``): peephole ConvLSTM with a
+single 4-gate convolution over ``concat([x, h])``, zero-input decode mode, and
+``(outputs, (h, c))`` sequence API.
+
+TPU-first restructuring (numerically identical):
+
+- The input half of the 4-gate convolution is hoisted out of the time loop and
+  executed as ONE batched conv over all ``b*t`` frames (large MXU matmul),
+  instead of per-step convs inside a Python loop
+  (reference hot loop: ``conv_lstm_hzzone.py:52-69``).
+- The recurrence itself is a ``jax.lax.scan`` whose carry (h, c) stays
+  chip-resident; the per-step work is the hidden-half conv + the fused
+  peephole/gate elementwise block (optionally a Pallas kernel, see
+  ``vp_suite_tpu/ops/pallas_cells.py``).
+
+Parameter layout matches a reshaped torch checkpoint:
+``kernel [kh, kw, in+enc, 4*enc]`` (gate order i, f, c, o on the last axis),
+peepholes ``wci/wcf/wco [state_h, state_w, enc]``.
+"""
+import typing
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import flax.linen as nn
+
+from vp_suite_tpu.base.base_model_block import VPModelBlock
+from vp_suite_tpu.model_blocks._functional import conv2d, make_conv_params
+
+
+class ConvLSTMShi(VPModelBlock):
+    NAME = "ConvLSTM (Shi et al.)"
+    PAPER_REFERENCE = "https://arxiv.org/abs/1506.04214"
+    CODE_REFERENCE = "https://github.com/Hzzone/Precipitation-Nowcasting"
+    MATCHES_REFERENCE = "Yes"
+
+    in_channels: int
+    enc_channels: int
+    state_h: int
+    state_w: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_pallas: bool = False  #: fuse the gate/peephole elementwise block with Pallas.
+
+    @nn.compact
+    def __call__(self, inputs, states, seq_len: int):
+        r"""Runs the cell over a sequence.
+
+        Args:
+            inputs: [b, t, h, w, in_c] or None (decode mode: zero inputs).
+            states: (h, c) each [b, state_h, state_w, enc] or None (zero init).
+            seq_len: number of steps (must equal t when inputs given).
+
+        Returns: (outputs [b, t, state_h, state_w, enc], (h, c)).
+        """
+        enc = self.enc_channels
+        kernel, bias = make_conv_params(self, "conv", self.in_channels + enc, 4 * enc,
+                                        self.kernel_size)
+        wci = self.param("wci", nn.initializers.zeros, (self.state_h, self.state_w, enc))
+        wcf = self.param("wcf", nn.initializers.zeros, (self.state_h, self.state_w, enc))
+        wco = self.param("wco", nn.initializers.zeros, (self.state_h, self.state_w, enc))
+
+        x_kernel = kernel[:, :, :self.in_channels, :]
+        h_kernel = kernel[:, :, self.in_channels:, :]
+
+        if states is None:
+            if inputs is None:
+                raise ValueError("ConvLSTMShi received None for both inputs and states")
+            b = inputs.shape[0]
+            h0 = jnp.zeros((b, self.state_h, self.state_w, enc), dtype=inputs.dtype)
+            c0 = jnp.zeros_like(h0)
+        else:
+            h0, c0 = states
+            b = h0.shape[0]
+
+        # hoisted input-to-hidden conv over all timesteps at once (one big
+        # MXU-friendly batched conv); bias folded into this half.
+        if inputs is not None:
+            bt = inputs.shape[0] * inputs.shape[1]
+            x_flat = inputs.reshape(bt, *inputs.shape[2:])
+            i2h = conv2d(x_flat, x_kernel, bias, self.stride, self.padding)
+            i2h = i2h.reshape(b, seq_len, self.state_h, self.state_w, 4 * enc)
+            i2h_t = jnp.moveaxis(i2h, 1, 0)  # [t, b, sh, sw, 4enc]
+        else:
+            i2h_t = jnp.broadcast_to(
+                bias.astype(h0.dtype),
+                (seq_len, b, self.state_h, self.state_w, 4 * enc))
+
+        def step(carry, i2h_step):
+            h, c = carry
+            gates = i2h_step + conv2d(h, h_kernel, None, self.stride, self.padding)
+            if self.use_pallas:
+                from vp_suite_tpu.ops.pallas_cells import convlstm_gate_fuse
+                h_new, c_new = convlstm_gate_fuse(gates, c, wci, wcf, wco)
+            else:
+                gi, gf, gc, go = jnp.split(gates, 4, axis=-1)
+                i = jax.nn.sigmoid(gi + wci * c)
+                f = jax.nn.sigmoid(gf + wcf * c)
+                c_new = f * c + i * jnp.tanh(gc)
+                o = jax.nn.sigmoid(go + wco * c_new)
+                h_new = o * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        (h_last, c_last), outputs = lax.scan(step, (h0, c0), i2h_t)
+        outputs = jnp.moveaxis(outputs, 0, 1)  # [b, t, sh, sw, enc]
+        return outputs, (h_last, c_last)

@@ -1,0 +1,128 @@
+r"""TrajGRU (Shi et al.) — TPU-native scan implementation.
+
+Capability parity with the reference block
+(``vp_suite/model_blocks/traj_gru.py:70-214``): a GRU whose hidden-to-hidden
+connection follows L learned flow trajectories — per step, a small conv net
+generates L flow fields, the hidden state is bilinearly warped along each
+(negated) flow, and a 1x1 conv over the concatenated warps yields the h2h
+gate pre-activations.
+
+TPU-first restructuring (numerically identical):
+- the input-to-hidden 3-gate conv is batched over all timesteps outside the
+  scan (the reference also batches it, ``traj_gru.py:176-180``);
+- the warp is the pure gather-based bilinear sampler from
+  ``vp_suite_tpu.ops.grid_sample`` (torch ``F.grid_sample`` parity);
+- the recurrence is a ``lax.scan`` with chip-resident hidden state.
+
+State height/width derive from the i2h conv arithmetic exactly like the
+reference ``BaseConvRNN`` (``traj_gru.py:37-67``).
+"""
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import flax.linen as nn
+
+from vp_suite_tpu.base.base_model_block import VPModelBlock
+from vp_suite_tpu.model_blocks._functional import conv2d, make_conv_params
+from vp_suite_tpu.ops.grid_sample import warp_flow
+
+
+def conv_rnn_state_size(in_h, in_w, i2h_kernel, i2h_stride, i2h_pad, i2h_dilate=(1, 1)):
+    r"""State size from i2h conv arithmetic (parity: ``traj_gru.py:58-65``)."""
+    kh = 1 + (i2h_kernel[0] - 1) * i2h_dilate[0]
+    kw = 1 + (i2h_kernel[1] - 1) * i2h_dilate[1]
+    sh = (in_h + 2 * i2h_pad[0] - kh) // i2h_stride[0] + 1
+    sw = (in_w + 2 * i2h_pad[1] - kw) // i2h_stride[1] + 1
+    return sh, sw
+
+
+class TrajGRU(VPModelBlock):
+    NAME = "TrajGRU"
+    PAPER_REFERENCE = "https://arxiv.org/abs/1706.03458"
+    CODE_REFERENCE = "https://github.com/Hzzone/Precipitation-Nowcasting"
+    MATCHES_REFERENCE = "Yes"
+
+    in_channels: int
+    enc_channels: int
+    state_h: int            #: input feature-map height (reference ``in_h``).
+    state_w: int
+    zoneout: float = 0.0
+    L: int = 5
+    i2h_kernel: Tuple[int, int] = (3, 3)
+    i2h_stride: Tuple[int, int] = (1, 1)
+    i2h_pad: Tuple[int, int] = (1, 1)
+    h2h_kernel: Tuple[int, int] = (5, 5)
+    h2h_dilate: Tuple[int, int] = (1, 1)
+    act_slope: float = 0.2  #: LeakyReLU negative slope (reference Activation('leaky')).
+
+    @nn.compact
+    def __call__(self, inputs, states, seq_len: int):
+        r"""inputs: [b, t, h, w, in_c] or None; states: [b, sh, sw, enc] or None.
+        Returns (outputs [b, t, sh, sw, enc], next_h)."""
+        f = self.enc_channels
+        sh, sw = conv_rnn_state_size(self.state_h, self.state_w, self.i2h_kernel,
+                                     self.i2h_stride, self.i2h_pad)
+        i2h_k, i2h_b = make_conv_params(self, "i2h", self.in_channels, f * 3, self.i2h_kernel)
+        i2f_k, i2f_b = make_conv_params(self, "i2f_conv1", self.in_channels, 32, (5, 5))
+        h2f_k, h2f_b = make_conv_params(self, "h2f_conv1", f, 32, (5, 5))
+        fl_k, fl_b = make_conv_params(self, "flows_conv", 32, self.L * 2, (5, 5))
+        ret_k, ret_b = make_conv_params(self, "ret", f * self.L, f * 3, (1, 1))
+
+        if inputs is None and states is None:
+            raise ValueError("TrajGRU received 'None' both in input and state")
+        if states is None:
+            b = inputs.shape[0]
+            states = jnp.zeros((b, sh, sw, f), dtype=inputs.dtype)
+        b = states.shape[0]
+
+        act = lambda v: jax.nn.leaky_relu(v, negative_slope=self.act_slope)
+
+        if inputs is not None:
+            bt = inputs.shape[0] * inputs.shape[1]
+            x_flat = inputs.reshape(bt, *inputs.shape[2:])
+            i2h = conv2d(x_flat, i2h_k, i2h_b, self.i2h_stride, self.i2h_pad)
+            i2h = i2h.reshape(b, seq_len, sh, sw, 3 * f)
+            i2f = conv2d(x_flat, i2f_k, i2f_b, 1, (2, 2))
+            i2f = i2f.reshape(b, seq_len, *i2f.shape[1:])
+            xs = (jnp.moveaxis(i2h, 1, 0), jnp.moveaxis(i2f, 1, 0))
+        else:
+            xs = None
+
+        def flow_h2h(prev_h, i2f_step):
+            r"""Generates L flows and returns the 1x1-conv'd warped hidden."""
+            f_conv1 = conv2d(prev_h, h2f_k, h2f_b, 1, (2, 2))
+            if i2f_step is not None:
+                f_conv1 = f_conv1 + i2f_step
+            flows = conv2d(act(f_conv1), fl_k, fl_b, 1, (2, 2))  # [b, sh, sw, 2L]
+            warped = [warp_flow(prev_h, -flows[..., 2 * j:2 * j + 2])
+                      for j in range(self.L)]
+            warped = jnp.concatenate(warped, axis=-1)            # [b, sh, sw, L*f]
+            return conv2d(warped, ret_k, ret_b, 1, 0)            # [b, sh, sw, 3f]
+
+        def step_with_input(prev_h, x):
+            i2h_step, i2f_step = x
+            h2h = flow_h2h(prev_h, i2f_step)
+            hr, hu, hm = jnp.split(h2h, 3, axis=-1)
+            ir, iu, im = jnp.split(i2h_step, 3, axis=-1)
+            reset = jax.nn.sigmoid(ir + hr)
+            update = jax.nn.sigmoid(iu + hu)
+            new_mem = act(im + reset * hm)
+            next_h = update * prev_h + (1.0 - update) * new_mem
+            return next_h, next_h
+
+        def step_decode(prev_h, _):
+            h2h = flow_h2h(prev_h, None)
+            hr, hu, hm = jnp.split(h2h, 3, axis=-1)
+            reset = jax.nn.sigmoid(hr)
+            update = jax.nn.sigmoid(hu)
+            new_mem = act(reset * hm)
+            next_h = update * prev_h + (1.0 - update) * new_mem
+            return next_h, next_h
+
+        if xs is not None:
+            next_h, outputs = lax.scan(step_with_input, states, xs)
+        else:
+            next_h, outputs = lax.scan(step_decode, states, None, length=seq_len)
+        return jnp.moveaxis(outputs, 0, 1), next_h
