@@ -1,0 +1,99 @@
+r"""Human 3.6M dataset.
+
+Capability parity with ``vp_suite/datasets/human36m.py:14-118``: mp4s plus a
+precomputed ``frame_counts.json``, scenario filtering, non-overlapping window
+indexing, resize-on-read.
+"""
+import json
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+
+from vp_suite_tpu.base.base_dataset import VPDataset, VPData
+from vp_suite_tpu.defaults import SETTINGS
+from vp_suite_tpu.utils.utils import set_from_kwarg, read_video, get_frame_count
+
+
+class Human36MDataset(VPDataset):
+    NAME = "Human 3.6M"
+    REFERENCE = "http://vision.imar.ro/human3.6m/description.php"
+    IS_DOWNLOADABLE = "With Registered Account"
+    DEFAULT_DATA_DIR = SETTINGS.DATA_PATH / "human36m"
+    VALID_SPLITS = ["train", "val", "test"]
+    MIN_SEQ_LEN = 994
+    ACTION_SIZE = 0
+    DATASET_FRAME_SHAPE = (1000, 1000, 3)
+    FPS = 50
+    SKIP_FIRST_N = 25
+    ALL_SCENARIOS = ['Directions', 'Discussion', 'Eating', 'Greeting', 'Phoning', 'Photo',
+                     'Posing', 'Purchases', 'Sitting', 'SittingDown', 'Smoking', 'TakingPhoto',
+                     'Waiting', 'WalkDog', 'WalkTogether', 'Walking', 'WalkingDog']
+
+    train_to_val_ratio = 0.96
+    scenarios = None
+
+    def __init__(self, split, **dataset_kwargs):
+        super().__init__(split, **dataset_kwargs)
+        self.NON_CONFIG_VARS.extend(["sequences", "sequences_with_frame_index", "ALL_SCENARIOS"])
+
+        set_from_kwarg(self, dataset_kwargs, "scenarios", default=self.ALL_SCENARIOS,
+                       choices=self.ALL_SCENARIOS)
+        set_from_kwarg(self, dataset_kwargs, "train_val_seed")
+
+        split_ing = "testing" if self.split == "test" else "training"
+        self.data_dir = str((Path(self.data_dir) / split_ing).resolve())
+        with open(os.path.join(self.data_dir, "frame_counts.json"), "r") as f:
+            self.sequences = json.load(f)
+
+        self.sequences = {vfp: fc for vfp, fc in self.sequences.items()
+                          if vfp.split("/")[-1].split(".")[0].split(" ")[0] in self.scenarios}
+
+        if self.split in ["train", "val"]:
+            vfc_list = list(self.sequences.items())
+            slice_idx = int(len(vfc_list) * self.train_to_val_ratio)
+            random.Random(self.train_val_seed).shuffle(vfc_list)
+            if self.split == "train":
+                self.sequences = dict(vfc_list[:slice_idx])
+            else:
+                self.sequences = dict(vfc_list[slice_idx:])
+
+        self.sequences_with_frame_index = []
+
+    def _set_seq_len(self):
+        for vfp, frame_count in self.sequences.items():
+            valid_idx = range(self.SKIP_FIRST_N, frame_count - self.seq_len + 1,
+                              self.seq_len + self.seq_step - 1)
+            for idx in valid_idx:
+                self.sequences_with_frame_index.append((vfp, idx))
+
+    def __getitem__(self, i) -> VPData:
+        sequence_path, start_idx = self.sequences_with_frame_index[i]
+        vid = read_video(sequence_path, img_size=self.img_shape[1:],
+                         start_index=start_idx, num_frames=self.seq_len)
+        vid = vid[::self.seq_step]
+        vid = self.preprocess(vid, transform=False)  # resized at read time
+        actions = np.zeros((self.total_frames, 1), dtype=np.float32)
+        return {"frames": vid, "actions": actions,
+                "origin": f"{sequence_path}, start frame: {start_idx}"}
+
+    def __len__(self):
+        return len(self.sequences_with_frame_index)
+
+    @classmethod
+    def download_and_prepare_dataset(cls):
+        d_path = cls.DEFAULT_DATA_DIR
+        d_path.mkdir(parents=True, exist_ok=True)
+        if len(list(d_path.rglob("**/*.mp4"))) == 0:
+            from vp_suite_tpu.utils.utils import run_shell_command
+            prep_script = (SETTINGS.PKG_RESOURCES / "get_dataset_human36m.sh").resolve()
+            run_shell_command(f"{prep_script} {cls.DEFAULT_DATA_DIR}")
+        print("Analyzing video frame counts...")
+        for split in ["training", "testing"]:
+            d_split_path = d_path / split
+            frame_counts = {}
+            for vid_fp in d_split_path.rglob("**/*.mp4"):
+                frame_counts[str(vid_fp.resolve())] = get_frame_count(vid_fp)
+            with open(d_split_path / "frame_counts.json", "w") as f:
+                json.dump(frame_counts, f)

@@ -70,6 +70,37 @@ def layer_norm_chw(x, scale, bias, eps=1e-5):
     return (x - mean) * lax.rsqrt(var + eps) * scale + bias
 
 
+def make_dcgan_conv(module, name, in_c, out_c, stride):
+    r"""DCGAN conv (conv3x3 -> GroupNorm(16) -> LeakyReLU(0.2)) as a pure
+    closure (functional form of ``model_blocks/conv.py:58-74``)."""
+    import flax.linen as nn
+    k, b = make_conv_params(module, f"{name}_conv", in_c, out_c, (3, 3))
+    scale = module.param(f"{name}_gn_scale", nn.initializers.ones, (out_c,))
+    bias = module.param(f"{name}_gn_bias", nn.initializers.zeros, (out_c,))
+
+    def apply(x):
+        y = conv2d(x, k, b, stride, 1)
+        y = group_norm(y, scale, bias, 16)
+        return jax.nn.leaky_relu(y, negative_slope=0.2)
+    return apply
+
+
+def make_dcgan_conv_transpose(module, name, in_c, out_c, stride):
+    r"""DCGAN convT (convT3x3 -> GroupNorm(16) -> LeakyReLU(0.2)) as a pure
+    closure (functional form of ``model_blocks/conv.py:77-95``)."""
+    import flax.linen as nn
+    k, b = make_conv_params(module, f"{name}_conv", in_c, out_c, (3, 3))
+    scale = module.param(f"{name}_gn_scale", nn.initializers.ones, (out_c,))
+    bias = module.param(f"{name}_gn_bias", nn.initializers.zeros, (out_c,))
+    output_pad = int(stride == 2)
+
+    def apply(x):
+        y = conv_transpose2d(x, k, b, stride, 1, output_pad)
+        y = group_norm(y, scale, bias, 16)
+        return jax.nn.leaky_relu(y, negative_slope=0.2)
+    return apply
+
+
 def make_conv_params(module, name, in_c, out_c, kernel_size, use_bias=True):
     r"""Creates torch-initialized conv params on a flax module; returns
     (kernel, bias-or-None)."""
