@@ -1,0 +1,180 @@
+r"""Benchmark: ConvLSTM-Shi (EF) on Moving-MNIST shapes, 5 ctx → 10 pred.
+
+The north-star config from BASELINE.json: frames/sec/chip for train+infer on
+the flagship model. Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}``.
+
+``vs_baseline`` compares against the PyTorch reference implementation's
+training throughput measured once on this host's CPU and cached in
+``bench_baseline.json`` (the reference has no GPU here and publishes no
+numbers — SURVEY.md §6). Extra keys document the breakdown.
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
+
+
+def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bfloat16",
+                 platform=None):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+    import optax
+    from vp_suite_tpu.models import MODEL_CLASSES
+    from vp_suite_tpu.training.train_state import create_train_state
+    from vp_suite_tpu.training.loop import make_train_step, make_predict_fn
+    from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
+
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    model = MODEL_CLASSES["convlstm-shi"](img_shape=(3, img, img), action_size=0,
+                                          tensor_value_range=(0.0, 1.0),
+                                          compute_dtype=dtype)
+    run_config = {"context_frames": ctx, "pred_frames": pred, "use_actions": False}
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+    state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
+                               context_frames=ctx, pred_frames=pred)
+    loss_provider = PredictionLossProvider(
+        {"losses_and_scales": {"mse": 1.0}, "img_c": 3, "device": None})
+    train_step = make_train_step(model, run_config, optimizer, loss_provider,
+                                 donate=False)
+    predict = make_predict_fn(model, run_config)
+
+    rng = np.random.RandomState(0)
+    total = ctx + pred
+    batch_np = {
+        "frames": rng.rand(batch, total, img, img, 3).astype(np.float32),
+        "actions": np.zeros((batch, total, 1), np.float32),
+    }
+    device_batch = {k: jax.device_put(v) for k, v in batch_np.items()}
+    epoch = jnp.asarray(0.0)
+
+    # train throughput: marginal cost (T(2N)-T(N))/N — cancels constant
+    # dispatch/RPC overheads and guards against async backends marking
+    # individual outputs ready before the whole step finished
+    def timed_run(n):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, mm = train_step(s, device_batch, epoch)
+        jax.block_until_ready((s, mm))
+        return time.perf_counter() - t0
+
+    state, m = train_step(state, device_batch, epoch)  # compile
+    jax.block_until_ready((state, m))
+    t_n = timed_run(steps)
+    t_2n = timed_run(2 * steps)
+    train_dt = max((t_2n - t_n) / steps, 1e-9)
+    train_fps = batch * total / train_dt
+
+    # inference throughput (same marginal method; steps independent, so chain
+    # them through a data dependency on the previous prediction's sum)
+    def timed_infer(n):
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(n):
+            p, _ = predict(state, device_batch)
+            outs.append(p)
+        jax.block_until_ready(outs)
+        return time.perf_counter() - t0
+
+    preds, _ = predict(state, device_batch)  # compile
+    jax.block_until_ready(preds)
+    ti_n = timed_infer(steps)
+    ti_2n = timed_infer(2 * steps)
+    infer_dt = max((ti_2n - ti_n) / steps, 1e-9)
+    infer_fps = batch * total / infer_dt
+
+    return {"train_fps": train_fps, "infer_fps": infer_fps,
+            "train_step_ms": train_dt * 1e3, "infer_step_ms": infer_dt * 1e3,
+            "platform": jax.devices()[0].platform, "compute_dtype": compute_dtype}
+
+
+def measure_torch_reference(img=64, ctx=5, pred=10, batch=4, steps=3):
+    r"""Measures the PyTorch reference EF-ConvLSTM's training throughput
+    (fwd+loss+bwd+opt) on host CPU. Imports the reference read-only via the
+    test loader stubs."""
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    from helpers.ref_loader import load_reference
+    load_reference()
+    import torch
+    from vp_suite.models.precipitation_nowcasting.ef_conv_lstm import EF_ConvLSTM
+
+    torch.manual_seed(0)
+    model = EF_ConvLSTM("cpu", img_shape=(3, img, img), action_size=0,
+                        tensor_value_range=(0.0, 1.0))
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    total = ctx + pred
+    x = torch.rand(batch, ctx, 3, img, img)
+    y = torch.rand(batch, pred, 3, img, img)
+
+    def one_step():
+        pred_frames, _ = model(x, pred_frames=pred)
+        loss = torch.nn.functional.mse_loss(pred_frames, y, reduction="none") \
+            .sum(dim=(-1, -2, -3)).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    one_step()  # warm-up
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = (time.perf_counter() - t0) / steps
+    return batch * total / dt  # frames/sec
+
+
+def get_torch_baseline(refresh=False, **kwargs):
+    if BASELINE_CACHE.exists() and not refresh:
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    try:
+        fps = measure_torch_reference(**kwargs)
+        data = {"torch_cpu_train_fps": fps, "note": "PyTorch reference EF-ConvLSTM, "
+                "fwd+bwd+opt on host CPU, batch 4 scaled (no GPU in this environment)"}
+    except Exception as e:
+        data = {"torch_cpu_train_fps": None, "note": f"baseline measurement failed: {e}"}
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(data, f, indent=2)
+    return data
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true", help="tiny shapes, quick check")
+    parser.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--refresh-baseline", action="store_true")
+    args = parser.parse_args()
+
+    if args.smoke:
+        ours = measure_ours(img=16, ctx=2, pred=2, batch=4, steps=3,
+                            compute_dtype=args.dtype, platform=args.platform)
+        baseline = {"torch_cpu_train_fps": None, "note": "smoke run, no baseline"}
+    else:
+        ours = measure_ours(compute_dtype=args.dtype, platform=args.platform,
+                            steps=args.steps)
+        baseline = get_torch_baseline(refresh=args.refresh_baseline)
+
+    base_fps = baseline.get("torch_cpu_train_fps")
+    vs_baseline = (ours["train_fps"] / base_fps) if base_fps else 0.0
+    result = {
+        "metric": "ConvLSTM-Shi MovingMNIST 5ctx->10pred train frames/sec/chip",
+        "value": round(ours["train_fps"], 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs_baseline, 2),
+        "baseline": "PyTorch reference on host CPU (no GPU available)",
+        "detail": {**ours, "baseline_fps": base_fps},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

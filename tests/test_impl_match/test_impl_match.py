@@ -1,0 +1,33 @@
+r"""Golden-output equivalence tests vs. the PyTorch reference.
+
+The reference's distinctive test tier clones upstream repos and compares
+weight-copied predictions within ``np.allclose(atol=1e-4)``
+(``tests/test_impl_match/test_impl_match.py:26-36``,
+``_predrnn_v2.py:124-126,180``). Here the mounted read-only reference at
+/root/reference plays the upstream role: each ``_*.py`` module constructs the
+torch reference model and our JAX model, copies the reference weights into our
+parameter layout, and asserts prediction equivalence at the same tolerance.
+
+Runs on CPU with highest matmul precision (TPU bf16 defaults would dominate
+the tolerance; see tests/conftest.py + the jax.default_matmul_precision
+context inside each module).
+"""
+import importlib
+import pkgutil
+from pathlib import Path
+
+import pytest
+
+_THIS_DIR = Path(__file__).parent
+IMPL_MODULES = sorted(m.name for m in pkgutil.iter_modules([str(_THIS_DIR)])
+                      if m.name.startswith("_"))
+
+
+@pytest.mark.parametrize("module_name", IMPL_MODULES)
+def test_impl_match(module_name):
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        pytest.skip("torch not available for reference comparison")
+    module = importlib.import_module(f"test_impl_match.{module_name}")
+    module.test_impl()

@@ -1,0 +1,95 @@
+r"""Multi-device data-parallelism tests (virtual 8-device CPU mesh).
+
+A tier the reference lacks (it is single-device; SURVEY.md §2.9): verifies
+that the jitted train step compiles and executes over a sharded mesh and that
+data-parallel gradients equal single-device gradients.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vp_suite_tpu.models import MODEL_CLASSES
+from vp_suite_tpu.parallel.mesh import (make_mesh, shard_params, batch_sharding,
+                                        replicated_sharding)
+from vp_suite_tpu.training.train_state import create_train_state
+from vp_suite_tpu.training.loop import make_train_step
+from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
+
+IMG, CTX, PRED = 16, 2, 2
+
+
+def _setup(n_dev):
+    model = MODEL_CLASSES["convlstm-shi"](img_shape=(3, IMG, IMG), action_size=0,
+                                          tensor_value_range=(0.0, 1.0))
+    run_config = {"context_frames": CTX, "pred_frames": PRED, "use_actions": False}
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
+                               context_frames=CTX, pred_frames=PRED)
+    loss_provider = PredictionLossProvider(
+        {"losses_and_scales": {"mse": 1.0}, "img_c": 3, "device": None})
+    step = make_train_step(model, run_config, optimizer, loss_provider, donate=False)
+    batch = 2 * max(n_dev, 1)
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "frames": rng.rand(batch, CTX + PRED, IMG, IMG, 3).astype(np.float32),
+        "actions": np.zeros((batch, CTX + PRED, 1), np.float32),
+    }
+    return model, state, step, batch_np
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8, \
+        "conftest should have forced 8 virtual CPU devices"
+
+
+def test_sharded_train_step_runs():
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    model, state, step, batch_np = _setup(n_dev)
+    state = state.replace(params=shard_params(state.params, mesh),
+                          opt_state=shard_params(state.opt_state, mesh),
+                          extra_vars=shard_params(state.extra_vars, mesh))
+    sharding = batch_sharding(mesh)
+    device_batch = {k: jax.device_put(v, sharding) for k, v in batch_np.items()}
+    new_state, metrics = step(state, device_batch, jnp.asarray(0.0))
+    assert np.isfinite(float(metrics["total"]))
+    assert int(new_state.step) == 1
+    # params remain replicated after the update
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_data_parallel_matches_single_device():
+    r"""The sharded-batch gradient update must equal the single-device one
+    (the implicit psum does the all-reduce correctly)."""
+    mesh = make_mesh(8)
+    model, state0, step, batch_np = _setup(8)
+
+    # single device
+    db1 = {k: jax.device_put(v) for k, v in batch_np.items()}
+    s1, m1 = step(state0, db1, jnp.asarray(0.0))
+
+    # 8-way sharded
+    sharding = batch_sharding(mesh)
+    state_sh = state0.replace(params=shard_params(state0.params, mesh),
+                              opt_state=shard_params(state0.opt_state, mesh),
+                              extra_vars=shard_params(state0.extra_vars, mesh))
+    db8 = {k: jax.device_put(v, sharding) for k, v in batch_np.items()}
+    s8, m8 = step(state_sh, db8, jnp.asarray(0.0))
+
+    assert abs(float(m1["total"]) - float(m8["total"])) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_batch_not_divisible_raises():
+    from vp_suite_tpu import VPSuite
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("MMF", img_size=16, digit_source="synthetic", n_seqs=16)
+    suite.create_model("copy")
+    with pytest.raises(ValueError, match="not divisible"):
+        suite.train(batch_size=3, num_devices=8, context_frames=2, pred_frames=2,
+                    epochs=1, no_wandb=True, no_vis=True)

@@ -1,0 +1,87 @@
+r"""Integration tests — suite workflows.
+
+Parity with the reference tier (``tests/test_suite.py:21-66``): create → save
+→ load checkpoint roundtrip, full 1-epoch training with vis, 1-trial
+hyperopt, full test run, multi-model/multi-dataset brief test with
+crop/resize kwargs. All marked slow (like the reference's @pytest.mark.slow).
+"""
+import numpy as np
+import pytest
+
+from vp_suite_tpu import VPSuite
+
+MMF_KWARGS = dict(img_size=16, digit_source="synthetic", n_seqs=16)
+RUN_KWARGS = dict(epochs=1, batch_size=4, context_frames=2, pred_frames=2,
+                  steps_per_epoch=2, no_wandb=True, vis_every=1,
+                  metrics=["mse", "psnr"])
+
+
+def _fresh_suite(tmp_path):
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("MMF", **MMF_KWARGS)
+    return suite
+
+
+@pytest.mark.slow
+def test_create_save_load_roundtrip(tmp_path):
+    suite = _fresh_suite(tmp_path)
+    suite.create_model("convlstm-shi")
+    suite.train(out_dir=str(tmp_path / "run"), no_vis=True, **RUN_KWARGS)
+    suite2 = VPSuite(device="cpu")
+    suite2.load_model(str(tmp_path / "run"), "best_model")
+    import jax
+    p1 = jax.tree_util.tree_leaves(suite.models[0].state.params)
+    p2 = jax.tree_util.tree_leaves(suite2.models[0].state.params)
+    assert all(np.allclose(a, b) for a, b in zip(p1, p2))
+    assert int(suite2.models[0].state.step) > 0
+
+
+@pytest.mark.slow
+def test_training_with_vis(tmp_path):
+    suite = _fresh_suite(tmp_path)
+    suite.create_model("lstm")
+    best = suite.train(out_dir=str(tmp_path / "run"), no_vis=False, n_vis=2,
+                       **RUN_KWARGS)
+    assert np.isfinite(best)
+    vis_dirs = list((tmp_path / "run").glob("vis_ep_*"))
+    assert len(vis_dirs) >= 1
+    assert len(list(vis_dirs[0].glob("*.gif"))) == 2
+
+
+@pytest.mark.slow
+def test_hyperopt_one_trial(tmp_path):
+    suite = _fresh_suite(tmp_path)
+    suite.create_model("convlstm-shi")
+    best_params = suite.hyperopt({"lr": {"min": 1e-5, "max": 1e-3, "scale": "log"}},
+                                 n_trials=1, out_dir=str(tmp_path / "run"),
+                                 no_vis=True, **RUN_KWARGS)
+    assert "lr" in best_params
+
+
+@pytest.mark.slow
+def test_full_test_run(tmp_path):
+    suite = _fresh_suite(tmp_path)
+    suite.create_model("convlstm-shi")
+    suite.load_dataset("MMF", split="test", **MMF_KWARGS)
+    results = suite.test(brief_test=True, context_frames=2, pred_frames=2,
+                         no_wandb=True, no_vis=True, metrics=["mse", "psnr"])
+    assert len(results) == 1
+    names = set(results[0].keys())
+    assert "CopyLastFrame" in names  # baseline auto-injected
+    assert any("EF-ConvLSTM" in n for n in names)
+    for mean_metric_dicts in results[0].values():
+        assert len(mean_metric_dicts) == 2  # per-horizon metrics for pred 1..2
+
+
+@pytest.mark.slow
+def test_multi_model_brief_test(tmp_path):
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("MMF", split="test", img_size=16, digit_source="synthetic",
+                       n_seqs=8)
+    suite.load_dataset("MMF", **MMF_KWARGS)
+    suite.create_model("copy")
+    suite.create_model("convlstm-shi")
+    results = suite.test(brief_test=True, context_frames=2, pred_frames=2,
+                         no_wandb=True, no_vis=True, metrics=["mse"])
+    assert len(results) == 1
+    assert len(results[0]) >= 2

@@ -45,6 +45,11 @@ class VPModel(nn.Module):
     TRAINABLE: typing.ClassVar[bool] = True
     NEEDS_COMPLETE_INPUT: typing.ClassVar[bool] = False
     MIN_CONTEXT_FRAMES: typing.ClassVar[int] = 1
+    #: Which train-step variant the training loop builds for this model
+    #: ("default" | "teacher_forcing" | "scheduled_sampling") — the functional
+    #: replacement for the reference's per-model train_iter overrides
+    #: (phydnet.py:139-174, st_phy.py:183-216, predrnn_v2.py:319-365).
+    TRAIN_REGIME: typing.ClassVar[str] = "default"
 
     NON_CONFIG_VARS: typing.ClassVar[list] = ["parent", "name", "scope"]
 
@@ -54,6 +59,7 @@ class VPModel(nn.Module):
     tensor_value_range: tuple = (0.0, 1.0)
     action_conditional: bool = False
     compute_dtype: typing.Any = jnp.float32  #: set to jnp.bfloat16 for mixed precision.
+    remat: bool = True  #: rematerialize scan bodies in backward (jax.checkpoint).
 
     # ------------------------------------------------------------------ #
     # shape helpers
@@ -77,7 +83,9 @@ class VPModel(nn.Module):
         from vp_suite_tpu.utils.utils import get_public_attrs
         attr_dict = {}
         for f in self.__dataclass_fields__:
-            if f in ("parent", "name"):
+            # flax's dataclass transform also registers ClassVar constants as
+            # fields; skip them (uppercase) plus flax-internal fields
+            if f in ("parent", "name") or f.isupper():
                 continue
             v = getattr(self, f)
             if f == "compute_dtype":

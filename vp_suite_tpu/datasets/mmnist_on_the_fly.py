@@ -119,6 +119,12 @@ class MovingMNISTOnTheFly(VPDataset):
         digit_id = int(self.digit_id_rng.integers(len(self.data)))
         cur_digit = np.array(self.data[digit_id], dtype=np.float64) / 255
         digit_size = cur_digit.shape[-1]
+        if digit_size >= self.img_shape[1]:
+            # digits larger than the frame (tiny test images): scale them down
+            import cv2
+            digit_size = max(4, self.img_shape[1] // 2)
+            cur_digit = cv2.resize(cur_digit, (digit_size, digit_size),
+                                   interpolation=cv2.INTER_AREA)
         cur_digit = cur_digit[..., np.newaxis]
         if self.num_channels == 3:
             cur_digit = np.repeat(cur_digit, 3, axis=-1)

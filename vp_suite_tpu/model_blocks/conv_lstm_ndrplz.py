@@ -79,6 +79,7 @@ class ConvLSTMNdrplz(VPModelBlock):
     batch_first: bool = False
     use_bias: bool = True
     return_all_layers: bool = False
+    remat: bool = True
 
     @nn.compact
     def __call__(self, input_tensor, hidden_state=None):
@@ -121,6 +122,8 @@ class ConvLSTMNdrplz(VPModelBlock):
                 h_new, c_new = convlstm_ndrplz_gates(gates, c)
                 return (h_new, c_new), h_new
 
+            if self.remat:
+                step = jax.checkpoint(step)
             h0 = jnp.zeros((b, hh, ww, hid), dtype=cur.dtype)
             (h_last, c_last), outs = lax.scan(step, (h0, jnp.zeros_like(h0)), i2h_t)
             cur = jnp.moveaxis(outs, 0, 1)

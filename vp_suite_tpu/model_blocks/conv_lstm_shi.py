@@ -45,6 +45,7 @@ class ConvLSTMShi(VPModelBlock):
     stride: int = 1
     padding: int = 1
     use_pallas: bool = False  #: fuse the gate/peephole elementwise block with Pallas.
+    remat: bool = True        #: rematerialize the scan body in backward (HBM saver).
 
     @nn.compact
     def __call__(self, inputs, states, seq_len: int):
@@ -76,6 +77,10 @@ class ConvLSTMShi(VPModelBlock):
         else:
             h0, c0 = states
             b = h0.shape[0]
+        # keep the whole recurrence in the activation dtype (mixed precision)
+        wci = wci.astype(h0.dtype)
+        wcf = wcf.astype(h0.dtype)
+        wco = wco.astype(h0.dtype)
 
         # hoisted input-to-hidden conv over all timesteps at once (one big
         # MXU-friendly batched conv); bias folded into this half.
@@ -105,6 +110,8 @@ class ConvLSTMShi(VPModelBlock):
                 h_new = o * jnp.tanh(c_new)
             return (h_new, c_new), h_new
 
+        if self.remat:
+            step = jax.checkpoint(step)
         (h_last, c_last), outputs = lax.scan(step, (h0, c0), i2h_t)
         outputs = jnp.moveaxis(outputs, 0, 1)  # [b, t, sh, sw, enc]
         return outputs, (h_last, c_last)

@@ -56,6 +56,7 @@ class TrajGRU(VPModelBlock):
     h2h_kernel: Tuple[int, int] = (5, 5)
     h2h_dilate: Tuple[int, int] = (1, 1)
     act_slope: float = 0.2  #: LeakyReLU negative slope (reference Activation('leaky')).
+    remat: bool = True      #: rematerialize the scan body in backward (HBM saver).
 
     @nn.compact
     def __call__(self, inputs, states, seq_len: int):
@@ -121,6 +122,9 @@ class TrajGRU(VPModelBlock):
             next_h = update * prev_h + (1.0 - update) * new_mem
             return next_h, next_h
 
+        if self.remat:
+            step_with_input = jax.checkpoint(step_with_input)
+            step_decode = jax.checkpoint(step_decode)
         if xs is not None:
             next_h, outputs = lax.scan(step_with_input, states, xs)
         else:

@@ -10,7 +10,6 @@ from vp_suite_tpu.base.base_model import VPModel
 
 class CopyLastFrame(VPModel):
     NAME = "CopyLastFrame"
-    REQUIRED_ARGS = []
     TRAINABLE = False
 
     def pred_1(self, x, **kwargs):

@@ -170,6 +170,8 @@ class LSTM(VPModel):
             pred = decode(out)
             return (states, pred), pred
 
+        if self.remat:
+            ar_body = jax.checkpoint(ar_body)
         if pred_frames > 1:
             (_, _), more_preds = lax.scan(
                 ar_body, (states, first_pred),

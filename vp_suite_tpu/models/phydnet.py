@@ -40,6 +40,7 @@ class PhyDNet(VPModel):
     CODE_REFERENCE = "https://github.com/vincent-leguen/PhyDNet"
     MATCHES_REFERENCE = "Not Yet"
     CAN_HANDLE_ACTIONS = True
+    TRAIN_REGIME = "teacher_forcing"
 
     phycell_n_layers: int = 1
     phycell_channels: int = 49
@@ -170,6 +171,8 @@ class PhyDNet(VPModel):
         xs = (jnp.moveaxis(total_x[:, :n_steps], 1, 0),
               jnp.moveaxis(actions[:, :n_steps], 1, 0),
               use_gt)
+        if self.remat:
+            step = jax.checkpoint(step)
         _, outs = lax.scan(step, (phy_h0, conv_h0, conv_c0, prev0), xs)
         outs = jnp.moveaxis(outs, 0, 1)  # [b, n_steps, h, w, c]
 

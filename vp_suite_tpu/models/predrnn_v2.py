@@ -42,6 +42,7 @@ class PredRNN_V2(VPModel):
     MATCHES_REFERENCE = "Yes"
     CAN_HANDLE_ACTIONS = False
     NEEDS_COMPLETE_INPUT = True
+    TRAIN_REGIME = "scheduled_sampling"
 
     patch_size: int = 4
     num_layers: int = 3
@@ -136,22 +137,24 @@ class PredRNN_V2(VPModel):
             mask = jnp.concatenate([r_mask, mask_p], axis=1)
             mask = jnp.broadcast_to(mask[:, :, None, None, None],
                                     (batch_size, mask.shape[1], hp, wp, pc))
-            new_state = {**model_state, "training_iteration": itr + 1}
-            return mask, new_state
+            # training_iteration advances once per train step (in the training
+            # loop), not per mask draw — parity with train_iter (:364)
+            return mask, model_state
 
         if not self.scheduled_sampling:
             mask = jnp.zeros((batch_size, pred_frames - 1, hp, wp, pc))
-            return mask, {**model_state, "training_iteration": itr + 1}
+            return mask, model_state
 
-        # standard scheduled sampling: eta decays BEFORE drawing (parity :289-297)
+        # standard scheduled sampling: eta decays BEFORE drawing (parity :289-297);
+        # eta decays per mask draw (twice per step with reverse_input, like the
+        # reference's double forward), iteration advances in the training loop
         new_eta = jnp.where(itr < self.sampling_stop_iter,
                             eta - self.sampling_changing_rate, 0.0)
         flip = jax.random.uniform(rng, (batch_size, pred_frames - 1))
         mask = (flip < new_eta).astype(jnp.float32)
         mask = jnp.broadcast_to(mask[:, :, None, None, None],
                                 (batch_size, pred_frames - 1, hp, wp, pc))
-        new_state = {"training_iteration": itr + 1, "sampling_eta": new_eta}
-        return mask, new_state
+        return mask, {**model_state, "sampling_eta": new_eta}
 
     # ------------------------------------------------------------------ #
     @nn.compact
@@ -282,6 +285,8 @@ class PredRNN_V2(VPModel):
               jnp.moveaxis(mask_full, 1, 0),
               jnp.moveaxis(a_patch[:, :total_frames - 1], 1, 0) if a_patch is not None
               else jnp.zeros((total_frames - 1, b, 1, 1, 1), x.dtype))
+        if self.remat:
+            step = jax.checkpoint(step)
         (_, _, _, _, dl_sum), next_frames = lax.scan(
             step, (h0, c0, memory0, x_gen0, jnp.float32(0.0)), xs)
 

@@ -30,6 +30,7 @@ from vp_suite_tpu.utils.models import conv_output_shape
 class STPhy(VPModel):
     NAME = "ST-Phy"
     CAN_HANDLE_ACTIONS = True
+    TRAIN_REGIME = "teacher_forcing"
 
     num_layers: int = 3
     phycell_channels: int = 49
@@ -167,6 +168,8 @@ class STPhy(VPModel):
         carry0 = (phy_h0, zeros_st, zeros_st, jnp.zeros((b, eh, ew, dim_st[0]), x.dtype),
                   jnp.zeros((b, eh, ew, stc), x.dtype), jnp.float32(0.0))
         xs = (jnp.moveaxis(enc_all, 1, 0), jnp.moveaxis(actions[:, :n_steps], 1, 0), use_gt)
+        if self.remat:
+            step = jax.checkpoint(step)
         (_, _, _, _, _, dl_sum), outs = lax.scan(step, carry0, xs)
         outs = jnp.moveaxis(outs, 0, 1)
 

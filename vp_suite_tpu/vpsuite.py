@@ -1,0 +1,668 @@
+r"""The VPSuite facade: the main workbench of vp-suite-tpu.
+
+API parity with the reference ``VPSuite``
+(``vp_suite/vpsuite.py:28-626``): ``load_dataset / download_dataset /
+create_model / load_model / train / hyperopt / test / reset_rng`` with the
+same semantics (REQUIRED_ARGS auto-fill from the last loaded dataset,
+registry-driven construction, compat checks and adapters, CopyLastFrame
+baseline injected into every test run, best/final checkpointing,
+per-prediction-horizon test metrics).
+
+Execution is TPU-native: jitted train/eval steps (fwd→loss→bwd→update in one
+XLA program), batch sharding over a ``jax.sharding`` data mesh, host-side
+ReduceLROnPlateau writing into an ``optax.inject_hyperparams`` state, and
+msgpack checkpoints of (params, opt state, step, schedule state).
+"""
+import json
+import random
+import time
+import warnings
+from copy import deepcopy
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vp_suite_tpu.defaults import SETTINGS, DEFAULT_RUN_CONFIG
+from vp_suite_tpu.utils.dataset_wrapper import VPDatasetWrapper
+from vp_suite_tpu.datasets import DATASET_CLASSES
+from vp_suite_tpu.models import MODEL_CLASSES, AVAILABLE_MODELS
+from vp_suite_tpu.models.copy_last_frame import CopyLastFrame
+from vp_suite_tpu.measure import LOSS_CLASSES
+from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
+from vp_suite_tpu.measure.metric_provider import PredictionMetricProvider
+from vp_suite_tpu.utils.utils import timestamp, check_optuna_config
+from vp_suite_tpu.utils.compatibility import (
+    check_model_and_data_compat, check_run_and_model_compat, AdapterChain)
+from vp_suite_tpu.base.base_model import VPModel
+from vp_suite_tpu.training.data import BatchLoader
+from vp_suite_tpu.training.loop import make_train_step, make_eval_step, make_predict_fn
+from vp_suite_tpu.training.train_state import create_train_state, TrainState
+from vp_suite_tpu.training.schedule import ReduceLROnPlateau, set_learning_rate
+from vp_suite_tpu.parallel.mesh import make_mesh, shard_params, batch_sharding
+from vp_suite_tpu.checkpoint import save_checkpoint, load_checkpoint
+
+
+class ModelEntry:
+    r"""A loaded/created model plus its functional state (the analog of the
+    reference's stateful nn.Module entries in ``VPSuite.models``)."""
+
+    def __init__(self, model, state, model_id, model_dir=None):
+        self.model = model
+        self.state = state
+        self.model_id = model_id
+        self.model_dir = model_dir
+
+    @property
+    def NAME(self):
+        return self.model.NAME
+
+    @property
+    def config(self):
+        return self.model.config
+
+
+class VPSuite:
+    def __init__(self, device: str = "auto"):
+        r"""device: 'auto' (TPU if present, else CPU), 'tpu', or 'cpu'."""
+        if device == "auto":
+            platforms = {d.platform for d in jax.devices()}
+            device = "tpu" if "tpu" in platforms else "cpu"
+        self.device = device
+        self.clear_models()
+        self.clear_datasets()
+
+    def _devices(self):
+        try:
+            return jax.devices(self.device)
+        except RuntimeError:
+            return jax.devices()
+
+    # ------------------------------------------------------------------ #
+    # dataset / model management (parity: vpsuite.py:51-187)
+    @property
+    def training_sets(self):
+        return [d for d in self.datasets if d.is_training_set]
+
+    @property
+    def test_sets(self):
+        return [d for d in self.datasets if d.is_test_set]
+
+    def clear_datasets(self):
+        self.datasets = []
+
+    def clear_models(self):
+        self.models = []
+
+    def load_dataset(self, dataset_id: str, split: str = "train", **dataset_kwargs):
+        dataset_class = DATASET_CLASSES[dataset_id]
+        seq_kwargs = {k: dataset_kwargs.pop(k) for k in
+                      ["context_frames", "pred_frames", "seq_step"] if k in dataset_kwargs}
+        dataset = VPDatasetWrapper(dataset_class, split, **dataset_kwargs)
+        print(f"loaded dataset '{dataset.NAME}' (action size: {dataset.action_size})")
+        if seq_kwargs:
+            dataset.set_seq_len(
+                seq_kwargs.get("context_frames", DEFAULT_RUN_CONFIG["context_frames"]),
+                seq_kwargs.get("pred_frames", DEFAULT_RUN_CONFIG["pred_frames"]),
+                seq_kwargs.get("seq_step", DEFAULT_RUN_CONFIG["seq_step"]))
+        self.datasets.append(dataset)
+        return dataset
+
+    def download_dataset(self, dataset_id: str):
+        DATASET_CLASSES[dataset_id].download_and_prepare_dataset()
+
+    def list_available_datasets(self):
+        for dataset_id, dataset_class in DATASET_CLASSES.items():
+            print(f"'{dataset_id}': {dataset_class.NAME}")
+
+    def list_available_models(self):
+        for model_id, model_class in MODEL_CLASSES.items():
+            print(f"'{model_id}': {model_class.NAME}")
+
+    def load_model(self, model_dir: str, ckpt_name: str = "best_model"):
+        r"""Loads a checkpointed model (registry reconstruction; parity:
+        ``vpsuite.py:125-137``)."""
+        ckpt_dir = Path(model_dir) / ckpt_name if ckpt_name else Path(model_dir)
+        model, state, model_id = load_checkpoint(ckpt_dir)
+        entry = ModelEntry(model, state, model_id, model_dir=str(model_dir))
+        self._model_setup(entry, loaded=True)
+        return entry
+
+    def create_model(self, model_id: str, action_conditional: bool = False,
+                     seed: int = None, **model_kwargs):
+        r"""Creates a model, auto-filling REQUIRED_ARGS from the last loaded
+        dataset (parity: ``vpsuite.py:139-171``)."""
+        if model_id not in AVAILABLE_MODELS:
+            raise ValueError(f"invalid model type specified! "
+                             f"Available model types: {list(AVAILABLE_MODELS)}")
+        model_class = MODEL_CLASSES[model_id]
+        for param in model_class.REQUIRED_ARGS:
+            if param not in model_kwargs:
+                print(f"model parameter '{param}' not specified "
+                      f"-> trying to take from last loaded dataset...")
+                if len(self.datasets) < 1:
+                    raise ValueError(f"no dataset loaded to take parameter '{param}' from")
+                param_val = self.datasets[-1].config.get(param, None)
+                if param_val is None:
+                    raise ValueError(f"dataset '{self.datasets[-1].NAME}' doesn't provide "
+                                     f"parameter '{param}', so it has to be specified "
+                                     f"on model creation")
+                model_kwargs[param] = param_val
+        if action_conditional and not model_class.CAN_HANDLE_ACTIONS:
+            warnings.warn("specified model can't handle actions "
+                          "-> argument 'action_conditional' set to False")
+            action_conditional = False
+        model_kwargs["action_conditional"] = action_conditional
+        for k, v in list(model_kwargs.items()):
+            if isinstance(v, list):
+                model_kwargs[k] = tuple(v)
+
+        model = model_class(**model_kwargs)
+        seed = DEFAULT_RUN_CONFIG["seed"] if seed is None else seed
+        optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=DEFAULT_RUN_CONFIG["lr"])
+        state = create_train_state(model, optimizer, jax.random.PRNGKey(seed))
+        entry = ModelEntry(model, state, model_id)
+        self._model_setup(entry)
+        return entry
+
+    def _model_setup(self, entry: ModelEntry, loaded: bool = False):
+        ac_str = "(action-conditional)" if entry.config["action_conditional"] else ""
+        loaded_str = "loaded" if loaded else "created new"
+        print(f"{loaded_str} model '{entry.NAME}' {ac_str}")
+        n_params = sum(int(np.prod(np.shape(p)))
+                       for p in jax.tree_util.tree_leaves(entry.state.params))
+        print(f" - Model parameters (total): {n_params}")
+        self.models.append(entry)
+
+    # ------------------------------------------------------------------ #
+    # run preparation (parity: vpsuite.py:189-243)
+    def _prepare_run(self, split: str = "train", **run_kwargs):
+        if len(self.models) == 0:
+            raise RuntimeError("No model available. Load a pretrained model or create a "
+                               "new instance before starting training or test runs")
+        if split == "train" and len(self.training_sets) == 0:
+            raise ValueError("No training sets loaded. Load a dataset in training mode "
+                             "before starting training or test runs")
+        elif split == "test" and len(self.test_sets) == 0:
+            raise ValueError("No test sets loaded. Load a dataset in test mode "
+                             "before starting training or test runs")
+        run_config = deepcopy(DEFAULT_RUN_CONFIG)
+        optuna_cfg = run_kwargs.pop("optuna", None)  # hyperopt search space rides along
+        unknown = [k for k in run_kwargs if k not in run_config]
+        if unknown:
+            raise ValueError(f"Only the following run arguments are supported: "
+                             f"{list(run_config.keys())} (got unknown: {unknown})")
+        run_config.update(run_kwargs)
+        if optuna_cfg is not None:
+            run_config["optuna"] = optuna_cfg
+        self._set_seeds(run_config["seed"])
+        run_config["opt_direction"] = "maximize" \
+            if LOSS_CLASSES[run_config["val_rec_criterion"]].BIGGER_IS_BETTER else "minimize"
+        run_config["device"] = self.device
+        return run_config
+
+    def _set_seeds(self, seed: int):
+        r"""The single seeding site (parity + warning: ``vpsuite.py:221-232``).
+        JAX randomness is threaded explicitly via PRNG keys derived from this
+        seed inside the train states."""
+        random.seed(seed)
+        np.random.seed(seed)
+        self._root_rng = jax.random.PRNGKey(seed)
+
+    def reset_rng(self, seed: int):
+        self._set_seeds(seed)
+        for dataset in self.datasets:
+            dataset.reset_rng()
+
+    # ------------------------------------------------------------------ #
+    # TRAINING (parity: vpsuite.py:245-426)
+    def _prepare_training(self, dataset_idx: int, model_idx: int, **run_kwargs):
+        run_config = self._prepare_run("train", **run_kwargs)
+        try:
+            dataset = self.training_sets[dataset_idx]
+            entry = self.models[model_idx]
+        except IndexError:
+            raise ValueError("given indices for model and/or dataset are invalid")
+        dataset.set_seq_len(run_config["context_frames"], run_config["pred_frames"],
+                            run_config["seq_step"])
+        assert dataset.is_ready(), "dataset is not ready even though set_seq_len was called"
+        check_run_and_model_compat(entry.model, run_config)
+        check_model_and_data_compat(entry.model, dataset, strict_mode=True)
+        return entry, dataset, run_config
+
+    def train(self, trial=None, dataset_idx: int = -1, model_idx: int = -1, **run_kwargs):
+        entry, dataset, run_config = self._prepare_training(dataset_idx, model_idx,
+                                                            **run_kwargs)
+        model = entry.model
+        train_data, val_data = dataset.train_data, dataset.val_data
+
+        # hyperopt parameter suggestions
+        optuna_config = run_config.get("optuna", None)
+        using_hyperopt = trial is not None and isinstance(optuna_config, dict)
+        if using_hyperopt:
+            for param, p_dict in optuna_config.items():
+                if "choices" in p_dict:
+                    if param == "model_type":
+                        warnings.warn("hyperopt across model and dataset parameters is "
+                                      f"not yet supported -> using {model.NAME}")
+                        continue
+                    run_config[param] = trial.suggest_categorical(param, p_dict["choices"])
+                else:
+                    if p_dict.get("type") == "int":
+                        run_config[param] = trial.suggest_int(
+                            param, p_dict["min"], p_dict["max"])
+                    else:
+                        run_config[param] = trial.suggest_float(
+                            param, p_dict["min"], p_dict["max"],
+                            log=p_dict.get("scale", "uniform") == "log")
+
+        # out dir
+        if run_config["out_dir"] is None and entry.model_dir is not None:
+            print(f"Using existing model save location ({entry.model_dir})...")
+            out_path = Path(entry.model_dir)
+        else:
+            out_dir = run_config["out_dir"] or SETTINGS.OUT_PATH / timestamp("train")
+            out_path = Path(out_dir)
+            out_path.mkdir(parents=True, exist_ok=True)
+            entry.model_dir = str(out_path.resolve())
+
+        with_training = model.TRAINABLE and not run_config["no_train"]
+        with_validation = not run_config["no_val"]
+
+        # combined config + sidecar
+        config = {**run_config, **model.config, **dataset.config,
+                  "model_name": model.NAME, "dataset_name": dataset.NAME}
+        save_config = {"run": run_config, "model": model.config,
+                       "dataset": dataset.config, "device": self.device}
+        with open(out_path / "run_cfg.json", "w") as cfg_file:
+            json.dump(save_config, cfg_file, indent=4, default=str)
+
+        # external logging (wandb optional; JSONL metrics always)
+        logger = _RunLogger(out_path, config, run_config["no_wandb"],
+                            project="vp-suite-training")
+
+        # mesh / sharding
+        mesh = make_mesh(run_config["num_devices"], run_config["data_axis"],
+                         devices=self._devices())
+        n_dev = mesh.devices.size
+        batch_size = run_config["batch_size"]
+        if batch_size % n_dev != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"{n_dev} devices")
+        data_sharding = batch_sharding(mesh, run_config["data_axis"])
+
+        # optimizer + state
+        optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=run_config["lr"])
+        if entry.state is None or entry.state.opt_state is None:
+            entry.state = create_train_state(
+                model, optimizer, jax.random.PRNGKey(run_config["seed"]),
+                context_frames=run_config["context_frames"],
+                pred_frames=run_config["pred_frames"])
+        state = entry.state
+        state = state.replace(params=shard_params(state.params, mesh),
+                              opt_state=shard_params(state.opt_state, mesh),
+                              extra_vars=shard_params(state.extra_vars, mesh))
+        state = set_learning_rate(state, run_config["lr"])
+
+        # losses + steps
+        loss_provider = PredictionLossProvider(config)
+        if config["val_rec_criterion"] not in config["losses_and_scales"]:
+            raise ValueError(f"Validation criterion '{config['val_rec_criterion']}' has "
+                             f"to be one of the chosen losses: "
+                             f"{list(config['losses_and_scales'].keys())}")
+        use_jit = "fvd" not in config["losses_and_scales"]
+        train_step = make_train_step(model, run_config, optimizer, loss_provider,
+                                     use_jit=use_jit)
+        eval_step = make_eval_step(model, run_config, loss_provider, use_jit=use_jit)
+        predict_fn = make_predict_fn(model, run_config)
+
+        train_loader = BatchLoader(train_data, batch_size, shuffle=True,
+                                   seed=run_config["seed"], drop_last=True)
+        val_loader = BatchLoader(val_data, batch_size=1, shuffle=False, drop_last=True)
+
+        scheduler = ReduceLROnPlateau(
+            run_config["lr"],
+            mode="max" if run_config["opt_direction"] == "maximize" else "min")
+        best_val_loss = float("-inf") if run_config["opt_direction"] == "maximize" \
+            else float("inf")
+
+        def loss_improved(cur, best):
+            return cur > best if run_config["opt_direction"] == "maximize" else cur < best
+
+        steps_cap = run_config.get("steps_per_epoch", 0)
+        profile_dir = run_config.get("profile_dir")
+
+        training_timeout = time.time() + config["max_training_hours"] * 3600
+        epochs_run = 0
+        for epoch in range(run_config["epochs"]):
+            print(f"\nEpoch: {epoch + 1} of {config['epochs']}")
+            epochs_run += 1
+
+            if with_training:
+                t0 = time.time()
+                n_steps, last_metrics = 0, {}
+                if profile_dir and epoch == 1:
+                    jax.profiler.start_trace(profile_dir)
+                for batch in train_loader:
+                    device_batch = {k: jax.device_put(v, data_sharding)
+                                    for k, v in batch.items() if isinstance(v, np.ndarray)}
+                    state, metrics = train_step(state, device_batch,
+                                                jnp.asarray(epoch, jnp.float32))
+                    n_steps += 1
+                    if n_steps % run_config["log_every"] == 0:
+                        last_metrics = {k: float(v) for k, v in metrics.items()}
+                        print(f"  step {n_steps}: {last_metrics}")
+                    if steps_cap and n_steps >= steps_cap:
+                        break
+                if profile_dir and epoch == 1:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+                        else x, state.params)
+                    jax.profiler.stop_trace()
+                dt = time.time() - t0
+                frames_seen = n_steps * batch_size * (run_config["context_frames"]
+                                                      + run_config["pred_frames"])
+                print(f"  trained {n_steps} steps in {dt:.1f}s "
+                      f"({frames_seen / max(dt, 1e-9):.1f} frames/s)")
+            else:
+                print("Skipping training loop.")
+
+            val_losses = {}
+            if with_validation:
+                agg = []
+                for batch in val_loader:
+                    device_batch = {k: jax.device_put(v) for k, v in batch.items()
+                                    if isinstance(v, np.ndarray)}
+                    agg.append(eval_step(state, device_batch))
+                if not agg:
+                    raise RuntimeError("validation set is empty")
+                val_losses = {k: float(np.mean([float(a[k]) for a in agg]))
+                              for k in agg[0].keys()}
+                indicator_loss = val_losses[run_config["val_rec_criterion"]]
+                if with_training:
+                    new_lr = scheduler.step(indicator_loss)
+                    state = set_learning_rate(state, new_lr)
+                print("Validation losses (mean over entire validation set):")
+                for k, v in val_losses.items():
+                    print(f" - {k}: {v}")
+                if loss_improved(indicator_loss, best_val_loss):
+                    best_val_loss = indicator_loss
+                    entry.state = state
+                    save_checkpoint(out_path / "best_model", state, entry.model_id,
+                                    model.config, run_config)
+                    print(f"Minimum indicator loss ({config['val_rec_criterion']}) "
+                          f"reduced -> model saved!")
+            else:
+                print("Skipping validation loop and simply saving current model "
+                      "as the 'best' model.")
+                entry.state = state
+                save_checkpoint(out_path / "best_model", state, entry.model_id,
+                                model.config, run_config)
+
+            if (epoch + 1) % config["vis_every"] == 0 and not config["no_vis"]:
+                print("Saving visualizations...")
+                from vp_suite_tpu.utils.visualization import visualize_vid
+                vis_out_dir = out_path / f"vis_ep_{epoch + 1:03d}"
+                base_val = getattr(val_data, "dataset", val_data)
+                visualize_vid(val_data, config["context_frames"], config["pred_frames"],
+                              lambda b: predict_fn(state, b), vis_out_dir,
+                              n_vis=config["n_vis"], vis_mode=config["vis_mode"])
+
+            logger.log_epoch(epoch, val_losses)
+            if time.time() > training_timeout:
+                print("Maximum training time exceeded, leaving training loop...")
+                break
+
+        print("\nTraining done, cleaning up...")
+        entry.state = state
+        save_checkpoint(out_path / "final_model", state, entry.model_id, model.config,
+                        run_config)
+        logger.finish()
+        return best_val_loss
+
+    # ------------------------------------------------------------------ #
+    # HYPEROPT (parity: vpsuite.py:428-457; random-search fallback when
+    # optuna isn't installed)
+    def hyperopt(self, optuna_config: dict, n_trials: int = 30, dataset_idx: int = -1,
+                 model_idx: int = -1, **run_kwargs):
+        from functools import partial
+        run_config = self._prepare_run(**run_kwargs)
+        check_optuna_config(optuna_config)
+        program = partial(self.train, dataset_idx=dataset_idx, model_idx=model_idx,
+                          optuna=optuna_config, **run_kwargs)
+        try:
+            import optuna
+            study = optuna.create_study(direction=run_config["opt_direction"])
+        except ImportError:
+            study = _RandomSearchStudy(direction=run_config["opt_direction"],
+                                       seed=run_config["seed"])
+        study.optimize(program, n_trials=n_trials)
+        best_params = study.best_params
+        print("\nHyperparameter optimization complete. Best performing parameters:")
+        for k, v in best_params.items():
+            print(f" - {k}: {v}")
+        return best_params
+
+    # ------------------------------------------------------------------ #
+    # TESTING (parity: vpsuite.py:459-626)
+    def _prepare_testing(self, **run_kwargs):
+        run_config = self._prepare_run("test", **run_kwargs)
+        test_sets = self.test_sets
+        for test_set in test_sets:
+            test_set.set_seq_len(run_config["context_frames"], run_config["pred_frames"],
+                                 run_config["seq_step"])
+            assert test_set.is_ready()
+
+        test_entries = []
+        for entry in self.models:
+            try:
+                check_run_and_model_compat(entry.model, run_config)
+                test_entries.append(entry)
+            except ValueError as e:
+                print(f"skipping test of model '{entry.NAME}' because of incompatibility "
+                      f"with run config: {e}")
+
+        model_lists_all_test_sets = []
+        for test_set in test_sets:
+            test_set_model_list = []
+            for entry in test_entries:
+                try:
+                    pre, post = check_model_and_data_compat(entry.model, test_set)
+                    test_set_model_list.append((entry, pre, post, []))
+                except ValueError as e:
+                    print(f"skipping test of model '{entry.NAME}' on dataset "
+                          f"'{test_set.NAME}' because of incompatibility: {e}")
+            # CopyLastFrame baseline, always added (parity: vpsuite.py:499-501)
+            img_shape = test_set.config["img_shape"]
+            clf = CopyLastFrame(img_shape=tuple(img_shape), action_size=0,
+                                tensor_value_range=tuple(
+                                    test_set.config["tensor_value_range"]))
+            clf_entry = ModelEntry(clf, TrainState(params={}, extra_vars={},
+                                                   opt_state=None,
+                                                   step=jnp.asarray(0, jnp.int32),
+                                                   model_state={},
+                                                   rng=jax.random.PRNGKey(0)),
+                                   "copy")
+            test_set_model_list.append((clf_entry, AdapterChain(), AdapterChain(), []))
+            model_lists_all_test_sets.append(test_set_model_list)
+
+        return list(zip(test_sets, model_lists_all_test_sets)), run_config
+
+    def _test_on_dataset(self, model_info_list, dataset, run_config, brief_test):
+        test_data = dataset.test_data
+        test_loader = BatchLoader(test_data, batch_size=1, shuffle=False)
+        if len(test_loader) < 1:
+            raise RuntimeError("loaded dataset does not contain any data (len < 1)")
+        test_mode = "brief" if brief_test else "full"
+        eval_length = min(len(test_loader), 10) if brief_test else len(test_loader)
+
+        config = {**run_config, **dataset.config, "dataset_name": dataset.NAME}
+        context_frames = config["context_frames"]
+        pred_frames = config["pred_frames"]
+        cfg = {"context_frames": context_frames, "pred_frames": pred_frames}
+        metric_provider = PredictionMetricProvider(config)
+
+        # build jitted adapted predictors per model
+        predictors = []
+        for (entry, pre, post, metrics_list) in model_info_list:
+            model = entry.model
+            state = entry.state
+
+            def make_pred(model=model, state=state, pre=pre, post=post):
+                from vp_suite_tpu.training.loop import _apply_model
+
+                def predict(batch):
+                    inputs, targets, actions = VPModel.unpack_data(
+                        batch, cfg, needs_complete_input=model.NEEDS_COMPLETE_INPUT)
+                    inputs = pre(inputs)
+                    kw = {"actions": actions} if model.CAN_HANDLE_ACTIONS else {}
+                    (preds, _), _ = _apply_model(model, state.params, state.extra_vars,
+                                                 inputs, pred_frames=pred_frames,
+                                                 train=False, **kw)
+                    return post(preds), targets
+                return jax.jit(predict)
+            predictors.append(make_pred())
+
+        loader_iter = iter(test_loader)
+        for n in range(eval_length):
+            batch = next(loader_iter)
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                            if isinstance(v, np.ndarray)}
+            for (entry, pre, post, metrics_list), predict in zip(model_info_list,
+                                                                 predictors):
+                preds, targets = predict(device_batch)
+                cur_metrics = metric_provider.get_metrics(preds, targets,
+                                                          all_frame_cnts=True)
+                metrics_list.append(cur_metrics)
+
+        # visualizations
+        timestamp_test = timestamp("test")
+        vis_out_dir = SETTINGS.OUT_PATH / timestamp_test
+        vis_out_dir.mkdir(parents=True, exist_ok=True)
+        if not config["no_vis"]:
+            print("Saving visualizations for tested models...")
+            if getattr(test_data, "ON_THE_FLY", False):
+                self.reset_rng(config["seed"])
+            from vp_suite_tpu.utils.visualization import visualize_sequences
+            model_predict_fns = {}
+            for (entry, pre, post, _), predict in zip(model_info_list, predictors):
+                name = entry.NAME.replace(" ", "_").replace("/", "-")
+                model_predict_fns[name] = (lambda b, p=predict: (p(b)[0], None))
+            visualize_sequences(test_data, context_frames, pred_frames,
+                                model_predict_fns, vis_out_dir, n_vis=config["n_vis"],
+                                vis_mode=config["vis_mode"],
+                                vis_compare=config["vis_compare"],
+                                vis_context_frame_idx=config["vis_context_frame_idx"])
+
+        # aggregate + log metrics per model / per prediction horizon
+        results = {}
+        if eval_length > 0:
+            for (entry, _, _, metrics_list) in model_info_list:
+                dp_range = range(len(metrics_list))
+                frame_range = range(len(metrics_list[0]))
+                metric_keys = metrics_list[0][0].keys()
+                mean_metric_dicts = [
+                    {mk: float(np.mean([metrics_list[dp][f][mk] for dp in dp_range]))
+                     for mk in metric_keys}
+                    for f in frame_range
+                ]
+                results[entry.NAME] = mean_metric_dicts
+                print(f"\n{entry.NAME} (path: {entry.model_dir}): ")
+                for f, mmd in enumerate(mean_metric_dicts):
+                    print(f"pred_frames: {f + 1}")
+                    for k, v in mmd.items():
+                        print(f" -> {k}: {v}")
+            with open(vis_out_dir / "test_metrics.json", "w") as f:
+                json.dump(results, f, indent=2)
+        return results
+
+    def test(self, brief_test=False, **run_kwargs):
+        test_sets_and_model_lists, run_config = self._prepare_testing(**run_kwargs)
+        all_results = []
+        for test_set, model_info_list in test_sets_and_model_lists:
+            all_results.append(self._test_on_dataset(model_info_list, test_set,
+                                                     run_config, brief_test))
+        return all_results
+
+
+# ---------------------------------------------------------------------- #
+class _RunLogger:
+    r"""Metric sink: wandb when available and enabled (parity:
+    ``vpsuite.py:344-348,416-417``), JSONL + console always."""
+
+    def __init__(self, out_path, config, no_wandb, project):
+        self.out_path = Path(out_path)
+        self.jsonl_fp = self.out_path / "metrics.jsonl"
+        self.wandb = None
+        if not no_wandb:
+            try:
+                import wandb
+                wandb.init(config={k: str(v) for k, v in config.items()},
+                           project=project, dir=str(SETTINGS.RUN_PATH))
+                self.wandb = wandb
+            except Exception:
+                self.wandb = None
+
+    def log_epoch(self, epoch, val_losses):
+        rec = {"epoch": epoch, **{k: float(v) for k, v in val_losses.items()}}
+        with open(self.jsonl_fp, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.wandb is not None:
+            self.wandb.log(val_losses)
+
+    def finish(self):
+        if self.wandb is not None:
+            self.wandb.finish()
+
+
+class _Trial:
+    r"""Minimal optuna-Trial-compatible object for the random-search fallback."""
+
+    def __init__(self, number, rng):
+        self.number = number
+        self.rng = rng
+        self.params = {}
+
+    def suggest_categorical(self, name, choices):
+        val = choices[int(self.rng.integers(len(choices)))]
+        self.params[name] = val
+        return val
+
+    def suggest_int(self, name, low, high, step=1):
+        val = int(self.rng.integers(low, high + 1))
+        self.params[name] = val
+        return val
+
+    def suggest_float(self, name, low, high, log=False, step=None):
+        if log:
+            val = float(np.exp(self.rng.uniform(np.log(low), np.log(high))))
+        else:
+            val = float(self.rng.uniform(low, high))
+        self.params[name] = val
+        return val
+
+
+class _RandomSearchStudy:
+    r"""Random-search replacement for optuna (not installed in this
+    environment); same ``optimize``/``best_params`` surface."""
+
+    def __init__(self, direction="minimize", seed=0):
+        self.direction = direction
+        self.rng = np.random.default_rng(seed)
+        self.trials = []
+
+    def optimize(self, func, n_trials=10):
+        for i in range(n_trials):
+            trial = _Trial(i, self.rng)
+            value = func(trial)
+            self.trials.append((value, trial.params))
+
+    @property
+    def best_params(self):
+        if not self.trials:
+            return {}
+        key = (lambda t: -t[0]) if self.direction == "maximize" else (lambda t: t[0])
+        return min(self.trials, key=key)[1]
