@@ -21,7 +21,7 @@ BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
 
 
 def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bfloat16",
-                 platform=None):
+                 platform=None, remat=True, use_pallas=False):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -35,7 +35,8 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     model = MODEL_CLASSES["convlstm-shi"](img_shape=(3, img, img), action_size=0,
                                           tensor_value_range=(0.0, 1.0),
-                                          compute_dtype=dtype)
+                                          compute_dtype=dtype, remat=remat,
+                                          use_pallas=use_pallas)
     run_config = {"context_frames": ctx, "pred_frames": pred, "use_actions": False}
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
@@ -55,37 +56,45 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     device_batch = {k: jax.device_put(v) for k, v in batch_np.items()}
     epoch = jnp.asarray(0.0)
 
-    # train throughput: marginal cost (T(2N)-T(N))/N — cancels constant
-    # dispatch/RPC overheads and guards against async backends marking
-    # individual outputs ready before the whole step finished
+    # train throughput. Synchronization via a host fetch of the final loss:
+    # on the axon remote-TPU backend, jax.block_until_ready does NOT actually
+    # wait for device execution (verified empirically: it reports sub-ms
+    # "steps" while a forced device->host transfer shows the true ~100ms),
+    # while a host fetch cannot complete before the whole dependent
+    # computation has. Marginal cost (T(2N)-T(N))/N cancels the constant
+    # dispatch/transfer overhead.
+    def sync(mm):
+        return float(np.asarray(mm["total"]))
+
     def timed_run(n):
         s = state
         t0 = time.perf_counter()
         for _ in range(n):
             s, mm = train_step(s, device_batch, epoch)
-        jax.block_until_ready((s, mm))
+        sync(mm)
         return time.perf_counter() - t0
 
     state, m = train_step(state, device_batch, epoch)  # compile
-    jax.block_until_ready((state, m))
+    sync(m)
     t_n = timed_run(steps)
     t_2n = timed_run(2 * steps)
     train_dt = max((t_2n - t_n) / steps, 1e-9)
     train_fps = batch * total / train_dt
 
-    # inference throughput (same marginal method; steps independent, so chain
-    # them through a data dependency on the previous prediction's sum)
+    # inference throughput: chain steps through a data dependency (feed a
+    # pixel of the previous prediction back into the input) so the sequence
+    # can't be elided, then host-fetch the final value to synchronize
     def timed_infer(n):
         t0 = time.perf_counter()
-        outs = []
+        fr = device_batch["frames"]
         for _ in range(n):
-            p, _ = predict(state, device_batch)
-            outs.append(p)
-        jax.block_until_ready(outs)
+            p, _ = predict(state, {"frames": fr, "actions": device_batch["actions"]})
+            fr = fr + 0.0 * p[:, :1, :1, :1, :1].mean()  # dependency, value-neutral
+        float(np.asarray(p).ravel()[0])
         return time.perf_counter() - t0
 
     preds, _ = predict(state, device_batch)  # compile
-    jax.block_until_ready(preds)
+    float(np.asarray(preds).ravel()[0])
     ti_n = timed_infer(steps)
     ti_2n = timed_infer(2 * steps)
     infer_dt = max((ti_2n - ti_n) / steps, 1e-9)
@@ -93,7 +102,8 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
 
     return {"train_fps": train_fps, "infer_fps": infer_fps,
             "train_step_ms": train_dt * 1e3, "infer_step_ms": infer_dt * 1e3,
-            "platform": jax.devices()[0].platform, "compute_dtype": compute_dtype}
+            "platform": jax.devices()[0].platform, "compute_dtype": compute_dtype,
+            "remat": remat, "use_pallas": use_pallas}
 
 
 def measure_torch_reference(img=64, ctx=5, pred=10, batch=4, steps=3):
@@ -152,15 +162,21 @@ def main():
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--refresh-baseline", action="store_true")
+    parser.add_argument("--no-remat", action="store_true",
+                        help="disable scan-body rematerialization")
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the fused Pallas gate kernel")
     args = parser.parse_args()
 
     if args.smoke:
         ours = measure_ours(img=16, ctx=2, pred=2, batch=4, steps=3,
-                            compute_dtype=args.dtype, platform=args.platform)
+                            compute_dtype=args.dtype, platform=args.platform,
+                            remat=not args.no_remat, use_pallas=args.pallas)
         baseline = {"torch_cpu_train_fps": None, "note": "smoke run, no baseline"}
     else:
         ours = measure_ours(compute_dtype=args.dtype, platform=args.platform,
-                            steps=args.steps)
+                            steps=args.steps, remat=not args.no_remat,
+                            use_pallas=args.pallas)
         baseline = get_torch_baseline(refresh=args.refresh_baseline)
 
     base_fps = baseline.get("torch_cpu_train_fps")

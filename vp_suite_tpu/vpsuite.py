@@ -285,13 +285,19 @@ class VPSuite:
                             project="vp-suite-training")
 
         # mesh / sharding
-        mesh = make_mesh(run_config["num_devices"], run_config["data_axis"],
-                         devices=self._devices())
-        n_dev = mesh.devices.size
         batch_size = run_config["batch_size"]
-        if batch_size % n_dev != 0:
+        n_requested = run_config["num_devices"]
+        if n_requested and batch_size % n_requested != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by "
-                             f"{n_dev} devices")
+                             f"{n_requested} devices")
+        if not n_requested:
+            # auto: largest available device count that divides the batch
+            n_avail = len(self._devices())
+            n_requested = max(d for d in range(1, n_avail + 1) if batch_size % d == 0)
+        mesh = make_mesh(n_requested, run_config["data_axis"], devices=self._devices())
+        n_dev = mesh.devices.size
+        if n_dev > 1:
+            print(f"data-parallel training over {n_dev} devices")
         data_sharding = batch_sharding(mesh, run_config["data_axis"])
 
         # optimizer + state
