@@ -81,15 +81,15 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     train_dt = max((t_2n - t_n) / steps, 1e-9)
     train_fps = batch * total / train_dt
 
-    # inference throughput: chain steps through a data dependency (feed a
-    # pixel of the previous prediction back into the input) so the sequence
-    # can't be elided, then host-fetch the final value to synchronize
+    # inference throughput: autoregressive chaining — the predictions REPLACE
+    # the tail of the next input (content-carrying dependency, impossible to
+    # elide), then host-fetch the final value to synchronize
     def timed_infer(n):
         t0 = time.perf_counter()
         fr = device_batch["frames"]
         for _ in range(n):
             p, _ = predict(state, {"frames": fr, "actions": device_batch["actions"]})
-            fr = fr + 0.0 * p[:, :1, :1, :1, :1].mean()  # dependency, value-neutral
+            fr = jnp.concatenate([fr[:, :ctx], p], axis=1)
         float(np.asarray(p).ravel()[0])
         return time.perf_counter() - t0
 
@@ -99,6 +99,13 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     ti_2n = timed_infer(2 * steps)
     infer_dt = max((ti_2n - ti_n) / steps, 1e-9)
     infer_fps = batch * total / infer_dt
+    if infer_dt < 1e-5:  # implausible: fall back to per-call synced timing
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            p, _ = predict(state, device_batch)
+            float(np.asarray(p).ravel()[0])
+        infer_dt = (time.perf_counter() - t0) / steps
+        infer_fps = batch * total / infer_dt
 
     return {"train_fps": train_fps, "infer_fps": infer_fps,
             "train_step_ms": train_dt * 1e3, "infer_step_ms": infer_dt * 1e3,
@@ -160,7 +167,7 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny shapes, quick check")
     parser.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
     parser.add_argument("--dtype", default="bfloat16")
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--refresh-baseline", action="store_true")
     parser.add_argument("--no-remat", action="store_true",
                         help="disable scan-body rematerialization")

@@ -1,0 +1,63 @@
+r"""Pallas kernel equivalence tests (interpret mode on CPU).
+
+The fused ConvLSTM gate/peephole kernel must match the plain-XLA math in both
+forward and custom-VJP backward. On CPU, pallas_call runs in interpret mode
+(patched in below); the same kernels compile with Mosaic on TPU.
+"""
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+
+@pytest.fixture()
+def pallas_interpret():
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    import vp_suite_tpu.ops.pallas_cells as pc
+    importlib.reload(pc)
+    yield pc
+    pl.pallas_call = orig
+    importlib.reload(pc)
+
+
+def _data(c=8, h=16, w=16, b=2):
+    rng = np.random.default_rng(0)
+    return (jnp.asarray(rng.standard_normal((b, h, w, 4 * c)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32)))
+
+
+def test_fused_forward_matches_reference(pallas_interpret):
+    pc = pallas_interpret
+    gates, c, wci, wcf, wco = _data()
+    h_ref, c_ref = pc.convlstm_gate_reference(gates, c, wci, wcf, wco)
+    h_out, c_out = pc.convlstm_gate_fuse(gates, c, wci, wcf, wco)
+    assert np.abs(np.asarray(h_out) - np.asarray(h_ref)).max() < 1e-5
+    assert np.abs(np.asarray(c_out) - np.asarray(c_ref)).max() < 1e-5
+
+
+def test_fused_backward_matches_reference(pallas_interpret):
+    pc = pallas_interpret
+    args = _data()
+
+    def loss(fn):
+        def f(*a):
+            hh, cn = fn(*a)
+            return jnp.sum(hh ** 2) + 0.5 * jnp.sum(cn * cn)
+        return f
+
+    gp = jax.grad(loss(pc.convlstm_gate_fuse), argnums=tuple(range(5)))(*args)
+    gr = jax.grad(loss(pc.convlstm_gate_reference), argnums=tuple(range(5)))(*args)
+    for a, b in zip(gp, gr):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4

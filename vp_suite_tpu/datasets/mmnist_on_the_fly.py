@@ -37,13 +37,15 @@ class MovingMNISTOnTheFly(VPDataset):
     rng_seed = 4115
     n_seqs = None
     digit_source = "auto"  #: 'auto' | 'mnist' | 'synthetic'
+    backend = "numpy"      #: 'numpy' (reference-parity RNG) | 'native' (C core;
+    #: index-seeded xorshift RNG — faster, parallel-safe, different stream)
 
     def __init__(self, split, **dataset_kwargs):
         super().__init__(split, **dataset_kwargs)
         self.NON_CONFIG_VARS.extend(["data", "digit_id_rng", "speed_rng", "acc_rng", "pos_rng"])
 
         for attr in ["num_channels", "num_digits", "rng_seed", "n_seqs", "digit_source",
-                     "min_speed", "max_speed", "min_acc", "max_acc"]:
+                     "min_speed", "max_speed", "min_acc", "max_acc", "backend"]:
             if attr in dataset_kwargs:
                 setattr(self, attr, dataset_kwargs[attr])
 
@@ -90,6 +92,8 @@ class MovingMNISTOnTheFly(VPDataset):
         if not self.ready_for_usage:
             raise RuntimeError("Dataset is not yet ready for usage "
                                "(maybe you forgot to call set_seq_len()).")
+        if self.backend == "native":
+            return self._getitem_native(i)
 
         digits, next_poses, speeds, digit_size = [], [], [], None
         for _ in range(self.num_digits):
@@ -114,6 +118,29 @@ class MovingMNISTOnTheFly(VPDataset):
 
         actions = np.zeros((self.total_frames, 1), dtype=np.float32)
         return {"frames": frames, "actions": actions, "origin": "generated on-the-fly"}
+
+    def _getitem_native(self, i) -> VPData:
+        r"""Index-seeded generation via the C core (``csrc/mmnist_gen.c``):
+        deterministic per (rng_seed, split, index), order-independent and
+        thread-parallel — unlike the numpy path, whose shared RNGs make
+        samples depend on access order (a reference quirk)."""
+        from vp_suite_tpu.native.build import generate_sequence_native
+        templates = np.asarray(self.data.images, dtype=np.uint8)
+        if templates.shape[-1] >= self.img_shape[1]:
+            import cv2
+            size = max(4, self.img_shape[1] // 2)
+            templates = np.stack([cv2.resize(t, (size, size),
+                                             interpolation=cv2.INTER_AREA)
+                                  for t in templates])
+        split_seed = self.SPLIT_SEED_OFFSETS[self.split](self.rng_seed)
+        seq = generate_sequence_native(
+            templates, self.seq_len, self.img_shape[1], self.num_channels,
+            self.num_digits, self.min_speed, self.max_speed,
+            seed=(split_seed << 20) ^ (i + 1))
+        frames = self.preprocess(seq * 255.0)
+        actions = np.zeros((self.total_frames, 1), dtype=np.float32)
+        return {"frames": frames, "actions": actions,
+                "origin": "generated on-the-fly (native)"}
 
     def _sample_digit(self):
         digit_id = int(self.digit_id_rng.integers(len(self.data)))

@@ -12,9 +12,11 @@ Math (Shi ConvLSTM, reference ``conv_lstm_hzzone.py:62-68``):
     c' = f*c + i*tanh(gc)
     o = σ(go + wco*c');  h = o*tanh(c')
 
-Layouts: gates [b, h, w, 4c] (i, f, c, o), c [b, h, w, c],
-peepholes [h, w, c]. Grid tiles over (batch, h-blocks); the channel dim rides
-the 128-wide vector lanes.
+TPU note: the 4-gate conv output ``[b, h, w, 4c]`` is split into four
+separate ``[b, h, w, c]`` operands OUTSIDE the kernel (XLA fuses the slices
+into the conv epilogue) — in-kernel slicing along the lane dimension at
+non-128-aligned offsets fails Mosaic verification. Grid tiles over
+(batch, h-blocks); the channel dim rides the 128-wide vector lanes.
 """
 import functools
 
@@ -25,55 +27,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_th(h, w, c, dtype_bytes=4, budget=6 * 1024 * 1024):
-    r"""Pick an h-tile so the working set (gates + c + outs + peepholes)
-    stays well under VMEM."""
+    r"""Pick an h-tile so the working set stays well under VMEM."""
     th = h
-    while th > 1 and th * w * c * dtype_bytes * 8 > budget:
+    while th > 1 and th * w * c * dtype_bytes * 12 > budget:
         th //= 2
     return max(th, 1)
 
 
-def _fwd_kernel(gates_ref, c_ref, wci_ref, wcf_ref, wco_ref, h_out_ref, c_out_ref):
-    gates = gates_ref[0]
-    c = c_ref[0]
+def _fwd_kernel(gi_ref, gf_ref, gc_ref, go_ref, c_ref, wci_ref, wcf_ref, wco_ref,
+                h_out_ref, c_out_ref):
+    c = c_ref[...]
     wci = wci_ref[...]
     wcf = wcf_ref[...]
     wco = wco_ref[...]
-    cdim = c.shape[-1]
-    gi = gates[..., 0 * cdim:1 * cdim]
-    gf = gates[..., 1 * cdim:2 * cdim]
-    gc = gates[..., 2 * cdim:3 * cdim]
-    go = gates[..., 3 * cdim:4 * cdim]
-    i = jax.nn.sigmoid(gi + wci * c)
-    f = jax.nn.sigmoid(gf + wcf * c)
-    c_new = f * c + i * jnp.tanh(gc)
-    o = jax.nn.sigmoid(go + wco * c_new)
-    h_out_ref[0] = o * jnp.tanh(c_new)
-    c_out_ref[0] = c_new
+    i = jax.nn.sigmoid(gi_ref[...] + wci * c)
+    f = jax.nn.sigmoid(gf_ref[...] + wcf * c)
+    c_new = f * c + i * jnp.tanh(gc_ref[...])
+    o = jax.nn.sigmoid(go_ref[...] + wco * c_new)
+    h_out_ref[...] = o * jnp.tanh(c_new)
+    c_out_ref[...] = c_new
 
 
-def _bwd_kernel(gates_ref, c_ref, wci_ref, wcf_ref, wco_ref, dh_ref, dc_out_ref,
-                dgates_ref, dc_in_ref):
-    r"""Recomputes the forward activations and emits (dgates, dc_in).
-    Peephole gradients are reduced outside (cheap XLA reduction over batch)."""
-    gates = gates_ref[0]
-    c = c_ref[0]
+def _bwd_kernel(gi_ref, gf_ref, gc_ref, go_ref, c_ref, wci_ref, wcf_ref, wco_ref,
+                dh_ref, dc_out_ref,
+                dzi_ref, dzf_ref, dgc_ref, dzo_ref, dc_in_ref):
+    r"""Recomputes forward activations; emits per-gate pre-activation grads and
+    dc_in. Peephole grads are batch-reductions done outside (XLA)."""
+    c = c_ref[...]
     wci = wci_ref[...]
     wcf = wcf_ref[...]
     wco = wco_ref[...]
-    dh = dh_ref[0]
-    dc_out = dc_out_ref[0]
-    cdim = c.shape[-1]
-    gi = gates[..., 0 * cdim:1 * cdim]
-    gf = gates[..., 1 * cdim:2 * cdim]
-    gc = gates[..., 2 * cdim:3 * cdim]
-    go = gates[..., 3 * cdim:4 * cdim]
+    dh = dh_ref[...]
+    dc_out = dc_out_ref[...]
 
-    i = jax.nn.sigmoid(gi + wci * c)
-    f = jax.nn.sigmoid(gf + wcf * c)
-    g = jnp.tanh(gc)
+    i = jax.nn.sigmoid(gi_ref[...] + wci * c)
+    f = jax.nn.sigmoid(gf_ref[...] + wcf * c)
+    g = jnp.tanh(gc_ref[...])
     c_new = f * c + i * g
-    o = jax.nn.sigmoid(go + wco * c_new)
+    o = jax.nn.sigmoid(go_ref[...] + wco * c_new)
     t2 = jnp.tanh(c_new)
 
     dzo = dh * t2 * o * (1.0 - o)
@@ -81,42 +72,49 @@ def _bwd_kernel(gates_ref, c_ref, wci_ref, wcf_ref, wco_ref, dh_ref, dc_out_ref,
     dzi = dc2 * g * i * (1.0 - i)
     dzf = dc2 * c * f * (1.0 - f)
     dgc = dc2 * i * (1.0 - g * g)
-    dc_in = dc2 * f + dzi * wci + dzf * wcf
 
-    dgates_ref[0] = jnp.concatenate([dzi, dzf, dgc, dzo], axis=-1)
-    dc_in_ref[0] = dc_in
+    dzi_ref[...] = dzi
+    dzf_ref[...] = dzf
+    dgc_ref[...] = dgc
+    dzo_ref[...] = dzo
+    dc_in_ref[...] = dc2 * f + dzi * wci + dzf * wcf
 
 
-def _block_specs(b, h, w, c, th):
-    r"""(in_specs, out_specs, grid) shared by fwd and bwd."""
+def _specs(b, h, w, c, th):
     grid = (b, pl.cdiv(h, th))
-    gates_spec = pl.BlockSpec((1, th, w, 4 * c), lambda ib, ih: (ib, ih, 0, 0),
-                              memory_space=pltpu.VMEM)
-    c_spec = pl.BlockSpec((1, th, w, c), lambda ib, ih: (ib, ih, 0, 0),
+    x_spec = pl.BlockSpec((1, th, w, c), lambda ib, ih: (ib, ih, 0, 0),
                           memory_space=pltpu.VMEM)
     peep_spec = pl.BlockSpec((th, w, c), lambda ib, ih: (ih, 0, 0),
                              memory_space=pltpu.VMEM)
-    return grid, gates_spec, c_spec, peep_spec
+    return grid, x_spec, peep_spec
+
+
+def _split_gates(gates):
+    c = gates.shape[-1] // 4
+    return (gates[..., 0 * c:1 * c], gates[..., 1 * c:2 * c],
+            gates[..., 2 * c:3 * c], gates[..., 3 * c:4 * c])
 
 
 def _fwd_call(gates, c, wci, wcf, wco):
     b, h, w, cdim = c.shape
     th = _pick_th(h, w, cdim)
-    grid, gates_spec, c_spec, peep_spec = _block_specs(b, h, w, cdim, th)
+    grid, x_spec, peep_spec = _specs(b, h, w, cdim, th)
+    gi, gf, gc, go = _split_gates(gates)
     h_new, c_new = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
-        in_specs=[gates_spec, c_spec, peep_spec, peep_spec, peep_spec],
-        out_specs=[c_spec, c_spec],
+        in_specs=[x_spec] * 5 + [peep_spec] * 3,
+        out_specs=[x_spec, x_spec],
         out_shape=[jax.ShapeDtypeStruct(c.shape, c.dtype),
                    jax.ShapeDtypeStruct(c.shape, c.dtype)],
-    )(gates, c, wci, wcf, wco)
+    )(gi, gf, gc, go, c, wci, wcf, wco)
     return h_new, c_new
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
+@jax.custom_vjp
 def convlstm_gate_fuse(gates, c, wci, wcf, wco):
-    r"""Fused ConvLSTM gate/peephole block. Returns (h_new, c_new)."""
+    r"""Fused ConvLSTM gate/peephole block. gates [b,h,w,4c] (i,f,c,o);
+    returns (h_new, c_new)."""
     return _fwd_call(gates, c, wci, wcf, wco)
 
 
@@ -130,20 +128,17 @@ def _vjp_bwd(residuals, cotangents):
     dh, dc_out = cotangents
     b, h, w, cdim = c.shape
     th = _pick_th(h, w, cdim)
-    grid, gates_spec, c_spec, peep_spec = _block_specs(b, h, w, cdim, th)
-    dgates, dc_in = pl.pallas_call(
+    grid, x_spec, peep_spec = _specs(b, h, w, cdim, th)
+    gi, gf, gc, go = _split_gates(gates)
+    dzi, dzf, dgc, dzo, dc_in = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
-        in_specs=[gates_spec, c_spec, peep_spec, peep_spec, peep_spec,
-                  c_spec, c_spec],
-        out_specs=[gates_spec, c_spec],
-        out_shape=[jax.ShapeDtypeStruct(gates.shape, gates.dtype),
-                   jax.ShapeDtypeStruct(c.shape, c.dtype)],
-    )(gates, c, wci, wcf, wco, dh, dc_out)
+        in_specs=[x_spec] * 5 + [peep_spec] * 3 + [x_spec] * 2,
+        out_specs=[x_spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct(c.shape, c.dtype)] * 5,
+    )(gi, gf, gc, go, c, wci, wcf, wco, dh, dc_out)
+    dgates = jnp.concatenate([dzi, dzf, dgc, dzo], axis=-1)
     # peephole grads: batch reductions (XLA fuses these)
-    dzi = dgates[..., 0 * cdim:1 * cdim]
-    dzf = dgates[..., 1 * cdim:2 * cdim]
-    dzo = dgates[..., 3 * cdim:4 * cdim]
     dwci = jnp.sum(dzi * c, axis=0)
     dwcf = jnp.sum(dzf * c, axis=0)
     dwco = jnp.sum(dzo * c_new, axis=0)
@@ -155,8 +150,7 @@ convlstm_gate_fuse.defvjp(_vjp_fwd, _vjp_bwd)
 
 def convlstm_gate_reference(gates, c, wci, wcf, wco):
     r"""Plain-XLA version (for equivalence testing and as fallback)."""
-    cdim = c.shape[-1]
-    gi, gf, gc, go = jnp.split(gates, 4, axis=-1)
+    gi, gf, gc, go = _split_gates(gates)
     i = jax.nn.sigmoid(gi + wci * c)
     f = jax.nn.sigmoid(gf + wcf * c)
     c_new = f * c + i * jnp.tanh(gc)
