@@ -21,7 +21,7 @@ BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
 
 
 def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bfloat16",
-                 platform=None, remat=True, use_pallas=False):
+                 platform=None, remat=True, use_pallas=False, model_id="convlstm-shi"):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -33,10 +33,13 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    model = MODEL_CLASSES["convlstm-shi"](img_shape=(3, img, img), action_size=0,
-                                          tensor_value_range=(0.0, 1.0),
-                                          compute_dtype=dtype, remat=remat,
-                                          use_pallas=use_pallas)
+    kwargs = dict(img_shape=(3, img, img), action_size=0,
+                  tensor_value_range=(0.0, 1.0), compute_dtype=dtype, remat=remat)
+    if model_id == "convlstm-shi":
+        kwargs["use_pallas"] = use_pallas
+    if model_id == "unet-3d":
+        kwargs["temporal_dim"] = min(ctx, 3)
+    model = MODEL_CLASSES[model_id](**kwargs)
     run_config = {"context_frames": ctx, "pred_frames": pred, "use_actions": False}
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
@@ -81,31 +84,19 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     train_dt = max((t_2n - t_n) / steps, 1e-9)
     train_fps = batch * total / train_dt
 
-    # inference throughput: autoregressive chaining — the predictions REPLACE
-    # the tail of the next input (content-carrying dependency, impossible to
-    # elide), then host-fetch the final value to synchronize
-    def timed_infer(n):
-        t0 = time.perf_counter()
-        fr = device_batch["frames"]
-        for _ in range(n):
-            p, _ = predict(state, {"frames": fr, "actions": device_batch["actions"]})
-            fr = jnp.concatenate([fr[:, :ctx], p], axis=1)
-        float(np.asarray(p).ravel()[0])
-        return time.perf_counter() - t0
-
+    # inference throughput: per-call host-fetch-synced timing. This includes
+    # the host round-trip per call (an over-estimate of pure device time, i.e.
+    # an honest upper bound on latency) — chained-dependency tricks are either
+    # elided by the compiler or dominated by eager-op round-trips on the
+    # remote backend.
     preds, _ = predict(state, device_batch)  # compile
     float(np.asarray(preds).ravel()[0])
-    ti_n = timed_infer(steps)
-    ti_2n = timed_infer(2 * steps)
-    infer_dt = max((ti_2n - ti_n) / steps, 1e-9)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        p, _ = predict(state, device_batch)
+        float(np.asarray(p).ravel()[0])
+    infer_dt = (time.perf_counter() - t0) / steps
     infer_fps = batch * total / infer_dt
-    if infer_dt < 1e-5:  # implausible: fall back to per-call synced timing
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            p, _ = predict(state, device_batch)
-            float(np.asarray(p).ravel()[0])
-        infer_dt = (time.perf_counter() - t0) / steps
-        infer_fps = batch * total / infer_dt
 
     return {"train_fps": train_fps, "infer_fps": infer_fps,
             "train_step_ms": train_dt * 1e3, "infer_step_ms": infer_dt * 1e3,
@@ -173,23 +164,31 @@ def main():
                         help="disable scan-body rematerialization")
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas gate kernel")
+    parser.add_argument("--model", default="convlstm-shi",
+                        help="model registry id (BASELINE.json configs: "
+                             "convlstm-shi on MM, predrnn-pp/unet-3d on KTH shapes, "
+                             "phy on BAIR shapes)")
     args = parser.parse_args()
 
     if args.smoke:
         ours = measure_ours(img=16, ctx=2, pred=2, batch=4, steps=3,
                             compute_dtype=args.dtype, platform=args.platform,
-                            remat=not args.no_remat, use_pallas=args.pallas)
+                            remat=not args.no_remat, use_pallas=args.pallas,
+                            model_id=args.model)
         baseline = {"torch_cpu_train_fps": None, "note": "smoke run, no baseline"}
     else:
         ours = measure_ours(compute_dtype=args.dtype, platform=args.platform,
                             steps=args.steps, remat=not args.no_remat,
-                            use_pallas=args.pallas)
+                            use_pallas=args.pallas, model_id=args.model)
         baseline = get_torch_baseline(refresh=args.refresh_baseline)
 
     base_fps = baseline.get("torch_cpu_train_fps")
     vs_baseline = (ours["train_fps"] / base_fps) if base_fps else 0.0
+    names = {"convlstm-shi": "ConvLSTM-Shi MovingMNIST",
+             "predrnn-pp": "PredRNN++ KTH-shaped", "phy": "PhyDNet BAIR-shaped",
+             "unet-3d": "UNet-3D KTH-shaped"}
     result = {
-        "metric": "ConvLSTM-Shi MovingMNIST 5ctx->10pred train frames/sec/chip",
+        "metric": f"{names.get(args.model, args.model)} 5ctx->10pred train frames/sec/chip",
         "value": round(ours["train_fps"], 2),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 2),

@@ -363,10 +363,11 @@ class VPSuite:
                         print(f"  step {n_steps}: {last_metrics}")
                     if steps_cap and n_steps >= steps_cap:
                         break
+                if n_steps:
+                    # host fetch = real synchronization (block_until_ready is
+                    # unreliable on remote-TPU backends)
+                    float(np.asarray(metrics["total"]))
                 if profile_dir and epoch == 1:
-                    jax.tree_util.tree_map(
-                        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-                        else x, state.params)
                     jax.profiler.stop_trace()
                 dt = time.time() - t0
                 frames_seen = n_steps * batch_size * (run_config["context_frames"]
