@@ -41,8 +41,30 @@ def load_reference():
                  "RandomAutocontrast", "RandomAdjustSharpness", "RandomSolarize",
                  "RandomPosterize", "RandomInvert", "GaussianBlur", "RandomVerticalFlip",
                  "RandomRotation", "RandomHorizontalFlip", "RandomGrayscale", "Grayscale",
-                 "ColorJitter", "Resize"]
-        tvt = _stub("torchvision.transforms", **{n: type(n, (), {}) for n in names})
+                 "ColorJitter"]
+
+        # functional Resize (the reference uses it inside model decoders,
+        # enc.py:89,134 / lstm.py:57): torchvision-0.11 tensor semantics =
+        # bilinear, align_corners=False, no antialias
+        import torch.nn as _tnn
+        import torch.nn.functional as _tF
+
+        class _Resize(_tnn.Module):
+            def __init__(self, size=None, **kw):
+                super().__init__()
+                self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+            def forward(self, x):
+                if tuple(x.shape[-2:]) == self.size:
+                    return x
+                lead = x.shape[:-3]
+                flat = x.reshape(-1, *x.shape[-3:])
+                out = _tF.interpolate(flat, size=self.size, mode="bilinear",
+                                      align_corners=False)
+                return out.reshape(*lead, x.shape[-3], *self.size)
+
+        tvt = _stub("torchvision.transforms",
+                    **{n: type(n, (), {}) for n in names}, Resize=_Resize)
         tv.transforms = tvt
         tvd = _stub("torchvision.datasets", MNIST=type("MNIST", (), {}))
         tv.datasets = tvd

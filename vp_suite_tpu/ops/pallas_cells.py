@@ -36,16 +36,19 @@ def _pick_th(h, w, c, dtype_bytes=4, budget=6 * 1024 * 1024):
 
 def _fwd_kernel(gi_ref, gf_ref, gc_ref, go_ref, c_ref, wci_ref, wcf_ref, wco_ref,
                 h_out_ref, c_out_ref):
-    c = c_ref[...]
-    wci = wci_ref[...]
-    wcf = wcf_ref[...]
-    wco = wco_ref[...]
-    i = jax.nn.sigmoid(gi_ref[...] + wci * c)
-    f = jax.nn.sigmoid(gf_ref[...] + wcf * c)
-    c_new = f * c + i * jnp.tanh(gc_ref[...])
-    o = jax.nn.sigmoid(go_ref[...] + wco * c_new)
-    h_out_ref[...] = o * jnp.tanh(c_new)
-    c_out_ref[...] = c_new
+    # compute internally in f32 (bf16 transcendentals trip Mosaic's verifier)
+    dt = c_ref.dtype
+    f32 = jnp.float32
+    c = c_ref[...].astype(f32)
+    wci = wci_ref[...].astype(f32)
+    wcf = wcf_ref[...].astype(f32)
+    wco = wco_ref[...].astype(f32)
+    i = jax.nn.sigmoid(gi_ref[...].astype(f32) + wci * c)
+    f = jax.nn.sigmoid(gf_ref[...].astype(f32) + wcf * c)
+    c_new = f * c + i * jnp.tanh(gc_ref[...].astype(f32))
+    o = jax.nn.sigmoid(go_ref[...].astype(f32) + wco * c_new)
+    h_out_ref[...] = (o * jnp.tanh(c_new)).astype(dt)
+    c_out_ref[...] = c_new.astype(dt)
 
 
 def _bwd_kernel(gi_ref, gf_ref, gc_ref, go_ref, c_ref, wci_ref, wcf_ref, wco_ref,
@@ -53,18 +56,20 @@ def _bwd_kernel(gi_ref, gf_ref, gc_ref, go_ref, c_ref, wci_ref, wcf_ref, wco_ref
                 dzi_ref, dzf_ref, dgc_ref, dzo_ref, dc_in_ref):
     r"""Recomputes forward activations; emits per-gate pre-activation grads and
     dc_in. Peephole grads are batch-reductions done outside (XLA)."""
-    c = c_ref[...]
-    wci = wci_ref[...]
-    wcf = wcf_ref[...]
-    wco = wco_ref[...]
-    dh = dh_ref[...]
-    dc_out = dc_out_ref[...]
+    dt = c_ref.dtype
+    f32 = jnp.float32
+    c = c_ref[...].astype(f32)
+    wci = wci_ref[...].astype(f32)
+    wcf = wcf_ref[...].astype(f32)
+    wco = wco_ref[...].astype(f32)
+    dh = dh_ref[...].astype(f32)
+    dc_out = dc_out_ref[...].astype(f32)
 
-    i = jax.nn.sigmoid(gi_ref[...] + wci * c)
-    f = jax.nn.sigmoid(gf_ref[...] + wcf * c)
-    g = jnp.tanh(gc_ref[...])
+    i = jax.nn.sigmoid(gi_ref[...].astype(f32) + wci * c)
+    f = jax.nn.sigmoid(gf_ref[...].astype(f32) + wcf * c)
+    g = jnp.tanh(gc_ref[...].astype(f32))
     c_new = f * c + i * g
-    o = jax.nn.sigmoid(go_ref[...] + wco * c_new)
+    o = jax.nn.sigmoid(go_ref[...].astype(f32) + wco * c_new)
     t2 = jnp.tanh(c_new)
 
     dzo = dh * t2 * o * (1.0 - o)
@@ -73,11 +78,11 @@ def _bwd_kernel(gi_ref, gf_ref, gc_ref, go_ref, c_ref, wci_ref, wcf_ref, wco_ref
     dzf = dc2 * c * f * (1.0 - f)
     dgc = dc2 * i * (1.0 - g * g)
 
-    dzi_ref[...] = dzi
-    dzf_ref[...] = dzf
-    dgc_ref[...] = dgc
-    dzo_ref[...] = dzo
-    dc_in_ref[...] = dc2 * f + dzi * wci + dzf * wcf
+    dzi_ref[...] = dzi.astype(dt)
+    dzf_ref[...] = dzf.astype(dt)
+    dgc_ref[...] = dgc.astype(dt)
+    dzo_ref[...] = dzo.astype(dt)
+    dc_in_ref[...] = (dc2 * f + dzi * wci + dzf * wcf).astype(dt)
 
 
 def _specs(b, h, w, c, th):
