@@ -41,7 +41,9 @@ class KTHActionsDataset(VPDataset):
         self.data = {c: self._load_meta(c) for c in self.CLASSES}
 
     def _load_meta(self, c):
-        r"""Loads per-class metadata: list of {vid: str, files: [str, ...]}."""
+        r"""Loads per-class metadata: list of {vid: str, files: [[str, ...], ...]}
+        — per video dir, a list of subsequences, each a list of frame files
+        (the reference's .t7 structure, ``kth.py:47-60``)."""
         h, w = self.DATASET_FRAME_SHAPE[0], self.DATASET_FRAME_SHAPE[1]
         json_fp = os.path.join(self.data_dir, c, f"{self.split}_meta{h}x{w}.json")
         if os.path.exists(json_fp):
@@ -52,7 +54,8 @@ class KTHActionsDataset(VPDataset):
             import torchfile
             raw = torchfile.load(t7_fp)
             return [{"vid": vid[b"vid"].decode("utf-8"),
-                     "files": [fn.decode("utf-8") for fn in vid[b"files"]]} for vid in raw]
+                     "files": [[fn.decode("utf-8") for fn in seq]
+                               for seq in vid[b"files"]]} for vid in raw]
         raise FileNotFoundError(f"no KTH metadata for class '{c}' at {json_fp}")
 
     def get_from_idx(self, i):
@@ -124,7 +127,9 @@ def build_kth_metadata(processed_dir: Path, classes, frame_hw=(64, 64),
                 continue
             person = vid_dir.name.split("_")[0]
             split = "test" if person in test_set else "train"
-            split_meta[split].append({"vid": vid_dir.name, "files": files})
+            # one subsequence covering the whole video dir (the reference's
+            # .t7 metadata may carry several annotated subsequences per video)
+            split_meta[split].append({"vid": vid_dir.name, "files": [files]})
         for split, meta in split_meta.items():
             with open(c_dir / f"{split}_meta{h}x{w}.json", "w") as f:
                 json.dump(meta, f)
