@@ -90,11 +90,11 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     # elided by the compiler or dominated by eager-op round-trips on the
     # remote backend.
     preds, _ = predict(state, device_batch)  # compile
-    float(np.asarray(preds).ravel()[0])
+    float(preds[0, 0, 0, 0, 0])  # scalar fetch: syncs without a bulk transfer
     t0 = time.perf_counter()
     for _ in range(steps):
         p, _ = predict(state, device_batch)
-        float(np.asarray(p).ravel()[0])
+        float(p[0, 0, 0, 0, 0])
     infer_dt = (time.perf_counter() - t0) / steps
     infer_fps = batch * total / infer_dt
 

@@ -26,10 +26,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_th(h, w, c, dtype_bytes=4, budget=6 * 1024 * 1024):
-    r"""Pick an h-tile so the working set stays well under VMEM."""
+def _pick_th(h, w, c, dtype_bytes=4, budget=10 * 1024 * 1024):
+    r"""Pick an h-tile so the working set stays under the 16M scoped-VMEM
+    limit: up to 15 block operands/outputs (bwd kernel), double-buffered by
+    the pipeline → ~32 block-sized buffers."""
     th = h
-    while th > 1 and th * w * c * dtype_bytes * 12 > budget:
+    while th > 1 and th * w * c * dtype_bytes * 32 > budget:
         th //= 2
     return max(th, 1)
 
