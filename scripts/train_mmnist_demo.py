@@ -29,7 +29,8 @@ def main():
     from vp_suite_tpu import VPSuite
     suite = VPSuite()
     suite.load_dataset("MMF", img_size=args.img, backend="native",
-                       digit_source="synthetic")
+                       digit_source="synthetic",
+                       n_seqs={"train": 9600, "val": 64, "test": 64})
     suite.create_model("convlstm-shi")
     best = suite.train(epochs=args.epochs, batch_size=args.batch,
                        context_frames=5, pred_frames=10,

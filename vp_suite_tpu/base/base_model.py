@@ -128,6 +128,10 @@ class VPModel(nn.Module):
         to-be-predicted frames and targets alias the tail."""
         frames = batch["frames"]
         actions = batch.get("actions")
+        if frames.dtype == jnp.uint8:
+            # uint8 transfer fast path (BatchLoader(uint8_frames=True)):
+            # dequantize on device
+            frames = frames.astype(jnp.float32) / 255.0
         if frames.ndim == 4:
             frames = frames[None]
             if actions is not None:

@@ -59,6 +59,8 @@ class MovingMNISTOnTheFly(VPDataset):
 
         self.data, self._source_kind = open_digit_source(
             self.data_dir, train=(self.split == "train"), source=self.digit_source)
+        if isinstance(self.n_seqs, dict):  # per-split sizes
+            self.n_seqs = self.n_seqs.get(self.split)
         self.n_seqs = self.n_seqs or self.DEFAULT_N_SEQS[self.split]
         self.digit_id_rng = self.speed_rng = self.acc_rng = self.pos_rng = None
         self.reset_rng()
@@ -93,7 +95,10 @@ class MovingMNISTOnTheFly(VPDataset):
             raise RuntimeError("Dataset is not yet ready for usage "
                                "(maybe you forgot to call set_seq_len()).")
         if self.backend == "native":
-            return self._getitem_native(i)
+            from vp_suite_tpu.native import native_available
+            if native_available():
+                return self._getitem_native(i)
+            self.backend = "numpy"  # graceful fallback (warning emitted by loader)
 
         digits, next_poses, speeds, digit_size = [], [], [], None
         for _ in range(self.num_digits):

@@ -78,15 +78,19 @@ def ssim_per_image(pred, target, kernel_size=11, sigma=1.5, value_range=1.0,
     c = pred.shape[-1]
 
     def blur(x):
-        # separable depthwise gaussian: rows then cols
+        # separable depthwise gaussian: rows then cols. HIGHEST precision:
+        # TPU's default bf16 conv precision causes catastrophic cancellation
+        # in the mu_xx - mu_x^2 variance estimates (SSIM > 1 artifacts)
         kh = jnp.tile(win.reshape(kernel_size, 1, 1, 1), (1, 1, 1, c))
         kw = jnp.tile(win.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))
         x = lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (0, 0)],
                                      dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=lax.Precision.HIGHEST)
         x = lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (0, 0)],
                                      dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=lax.Precision.HIGHEST)
         return x
 
     mu_x = blur(pred)
@@ -116,7 +120,8 @@ class SSIM(VPMeasure):
     def forward(self, pred, target):
         if pred.shape[-1] != 3 or target.shape[-1] != 3:
             raise ValueError(f"{self.NAME} needs 3-channel images (channels last)")
-        pred, target = self.reshape_clamp(pred, target)
+        pred, target = self.reshape_clamp(pred.astype(jnp.float32),
+                                          target.astype(jnp.float32))
         return 1.0 - ssim_per_image(pred, target).mean()
 
     @classmethod

@@ -88,7 +88,8 @@ class LPIPSNet:
             kern = self.params[f"conv{i}_kernel"]
             bias = self.params[f"conv{i}_bias"]
             x = lax.conv_general_dilated(x, kern, (s, s), [(p, p), (p, p)],
-                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                                         precision=lax.Precision.HIGHEST)
             x = jax.nn.relu(x + bias)
             feats.append(x)
         return feats

@@ -29,8 +29,12 @@ def _build_so():
     if so_fp.exists():
         return so_fp
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-shared", "-fPIC", "-o", str(so_fp), str(_CSRC)]
+    # build to a unique temp file + atomic rename: concurrent builders
+    # (loader threads / parallel processes) must not corrupt the cache
+    tmp_fp = so_fp.with_suffix(f".tmp{os.getpid()}.so")
+    cmd = [cc, "-O3", "-shared", "-fPIC", "-o", str(tmp_fp), str(_CSRC)]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp_fp, so_fp)
     return so_fp
 
 
@@ -56,7 +60,10 @@ def load_mmnist_gen():
             ctypes.c_uint64, f32p]
         lib.generate_batch.restype = ctypes.c_int
         _lib = lib
-    except Exception:
+    except Exception as e:
+        import warnings
+        warnings.warn(f"native mmnist generator unavailable ({type(e).__name__}: {e}); "
+                      f"falling back to the numpy path")
         _lib = None
     return _lib
 

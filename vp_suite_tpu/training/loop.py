@@ -17,6 +17,14 @@ import optax
 from vp_suite_tpu.base.base_model import VPModel
 
 
+def _dequantize(x):
+    r"""Dequantizes uint8-transferred frames to f32 [0, 1] on device (the
+    loader's ``uint8_frames`` fast path — 4x less host->device traffic)."""
+    if x is not None and x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 def _apply_model(model, params, extra_vars, x, *args, train=False, rngs=None, **kwargs):
     r"""Applies a model, handling mutable collections (e.g. batch_stats) and
     the mixed-precision policy: activations are cast to ``model.compute_dtype``

@@ -325,9 +325,14 @@ class VPSuite:
         eval_step = make_eval_step(model, run_config, loss_provider, use_jit=use_jit)
         predict_fn = make_predict_fn(model, run_config)
 
+        # uint8 host->device transfer (4x less tunnel/PCIe traffic) is exact
+        # up to 1/510 for [0,1]-range data; dequantized on device
+        uint8_ok = [float(v) for v in dataset.config["tensor_value_range"]] == [0.0, 1.0]
         train_loader = BatchLoader(train_data, batch_size, shuffle=True,
-                                   seed=run_config["seed"], drop_last=True)
-        val_loader = BatchLoader(val_data, batch_size=1, shuffle=False, drop_last=True)
+                                   seed=run_config["seed"], drop_last=True,
+                                   uint8_frames=uint8_ok)
+        val_loader = BatchLoader(val_data, batch_size=1, shuffle=False, drop_last=True,
+                                 uint8_frames=uint8_ok)
 
         scheduler = ReduceLROnPlateau(
             run_config["lr"],
@@ -352,9 +357,10 @@ class VPSuite:
                 n_steps, last_metrics = 0, {}
                 if profile_dir and epoch == 1:
                     jax.profiler.start_trace(profile_dir)
-                for batch in train_loader:
-                    device_batch = {k: jax.device_put(v, data_sharding)
-                                    for k, v in batch.items() if isinstance(v, np.ndarray)}
+                from vp_suite_tpu.training.data import device_prefetch
+                prefetched = device_prefetch(train_loader, sharding=data_sharding,
+                                             depth=run_config["prefetch_batches"])
+                for device_batch in prefetched:
                     state, metrics = train_step(state, device_batch,
                                                 jnp.asarray(epoch, jnp.float32))
                     n_steps += 1
