@@ -42,6 +42,12 @@ class VPMeasure:
     def __call__(self, pred, target):
         return self.forward(pred, target)
 
+    def per_frame(self, pred, target):
+        r"""Optional fast path: per-(batch, frame) values [b, t] whose prefix
+        means reproduce :meth:`forward` on every horizon 1..t. Measures that
+        can't decompose (e.g. FVD) return None and are evaluated per horizon."""
+        return None
+
     @staticmethod
     def reshape_clamp(pred, target):
         r"""Reshapes to [b*t, h, w, c] and maps the (-1, 1)-ish value range to

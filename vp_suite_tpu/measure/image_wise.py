@@ -21,6 +21,9 @@ class MSE(VPMeasure):
         d = pred - target
         return d * d
 
+    def per_frame(self, pred, target):
+        return self.criterion(pred, target).sum(axis=(2, 3, 4))
+
 
 class L1(VPMeasure):
     r"""Pixel-wise mean absolute error (parity: ``image_wise.py:30-38``)."""
@@ -28,6 +31,9 @@ class L1(VPMeasure):
 
     def criterion(self, pred, target):
         return jnp.abs(pred - target)
+
+    def per_frame(self, pred, target):
+        return self.criterion(pred, target).sum(axis=(2, 3, 4))
 
 
 class SmoothL1(VPMeasure):
@@ -38,6 +44,9 @@ class SmoothL1(VPMeasure):
     def criterion(self, pred, target):
         d = jnp.abs(pred - target)
         return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+    def per_frame(self, pred, target):
+        return self.criterion(pred, target).sum(axis=(2, 3, 4))
 
 
 class PSNR(VPMeasure):
@@ -55,6 +64,10 @@ class PSNR(VPMeasure):
         mses = (d * d).mean(axis=(-1, -2, -3))  # [b, t]
         psnr_losses = jnp.log10(mses) * 10.0
         return psnr_losses.mean(axis=1).mean(axis=0)
+
+    def per_frame(self, pred, target):
+        d = pred - target
+        return jnp.log10((d * d).mean(axis=(-1, -2, -3))) * 10.0
 
     @classmethod
     def to_display(cls, x):
@@ -124,6 +137,12 @@ class SSIM(VPMeasure):
                                           target.astype(jnp.float32))
         return 1.0 - ssim_per_image(pred, target).mean()
 
+    def per_frame(self, pred, target):
+        b, t = pred.shape[:2]
+        p, tg = self.reshape_clamp(pred.astype(jnp.float32),
+                                   target.astype(jnp.float32))
+        return 1.0 - ssim_per_image(p, tg).reshape(b, t)
+
     @classmethod
     def to_display(cls, x):
         return 1.0 - x
@@ -153,3 +172,12 @@ class LPIPS(VPMeasure):
             pred = resize_bilinear(pred, (max(64, pred.shape[1]), max(64, pred.shape[2])))
             target = resize_bilinear(target, (max(64, target.shape[1]), max(64, target.shape[2])))
         return self.net(pred, target)
+
+    def per_frame(self, pred, target):
+        b, t = pred.shape[:2]
+        p, tg = self.reshape_clamp(pred, target)
+        if p.shape[1] < 64 or p.shape[2] < 64:
+            from vp_suite_tpu.ops.image import resize_bilinear
+            p = resize_bilinear(p, (max(64, p.shape[1]), max(64, p.shape[2])))
+            tg = resize_bilinear(tg, (max(64, tg.shape[1]), max(64, tg.shape[2])))
+        return self.net.per_image(p, tg).reshape(b, t)

@@ -94,7 +94,8 @@ class LPIPSNet:
             feats.append(x)
         return feats
 
-    def __call__(self, pred, target):
+    def per_image(self, pred, target):
+        r"""Per-image LPIPS distances [n]."""
         fp = self.features(pred)
         ft = self.features(target)
         total = 0.0
@@ -104,4 +105,7 @@ class LPIPSNet:
             d = (na - nb) ** 2
             lin = jnp.maximum(self.params[f"lin{i}"], 0.0)
             total = total + (d * lin).sum(axis=-1).mean(axis=(1, 2))
-        return total.mean()
+        return total
+
+    def __call__(self, pred, target):
+        return self.per_image(pred, target).mean()

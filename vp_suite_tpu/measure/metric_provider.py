@@ -30,21 +30,31 @@ class PredictionMetricProvider:
             raise ValueError("Output images and target images are of different shape!")
         frames = frames or pred.shape[1]
 
-        results = []
-        frame_cnts = [frames] if not all_frame_cnts else range(1, frames + 1)
-        for frame_cnt in frame_cnts:
-            pred_ = pred[:, :frame_cnt]
-            target_ = target[:, :frame_cnt]
-            frame_cnt_metrics = {}
-            for key, metric in self.metrics.items():
+        frame_cnts = [frames] if not all_frame_cnts else list(range(1, frames + 1))
+        results = [dict() for _ in frame_cnts]
+        for key, metric in self.metrics.items():
+            arrow = "↑" if metric.BIGGER_IS_BETTER else "↓"
+            name = f"{key} ({arrow})"
+            per_frame = None
+            if len(frame_cnts) > 1:
+                # fast path: ONE per-frame evaluation, prefix means on host —
+                # avoids a jit-compile + full pass per prediction horizon
                 try:
-                    metric_val = metric(pred_, target_)
+                    per_frame = metric.per_frame(pred[:, :frames], target[:, :frames])
+                except ValueError:
+                    per_frame = None
+            if per_frame is not None:
+                vals = np.asarray(per_frame, dtype=np.float64)  # [b, t]
+                for idx, fc in enumerate(frame_cnts):
+                    internal = float(vals[:, :fc].mean(axis=1).mean(axis=0))
+                    results[idx][name] = float(metric.to_display(internal))
+                continue
+            for idx, fc in enumerate(frame_cnts):
+                try:
+                    metric_val = metric(pred[:, :fc], target[:, :fc])
                 except ValueError:
                     metric_val = None
                 if metric_val is None:
                     continue
-                arrow = "↑" if metric.BIGGER_IS_BETTER else "↓"
-                frame_cnt_metrics[f"{key} ({arrow})"] = float(metric.to_display(
-                    float(np.asarray(metric_val))))
-            results.append(frame_cnt_metrics)
+                results[idx][name] = float(metric.to_display(float(np.asarray(metric_val))))
         return results
