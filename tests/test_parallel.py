@@ -93,3 +93,20 @@ def test_batch_not_divisible_raises():
     with pytest.raises(ValueError, match="not divisible"):
         suite.train(batch_size=3, num_devices=8, context_frames=2, pred_frames=2,
                     epochs=1, no_wandb=True, no_vis=True)
+
+
+def test_process_shard():
+    from vp_suite_tpu.parallel.distributed import shard_dataset_for_process
+
+    class FakeDS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return i
+
+    ds = FakeDS()
+    shards = [shard_dataset_for_process(ds, shard_id=s, num_shards=3) for s in range(3)]
+    seen = sorted(x for sh in shards for x in (sh[i] for i in range(len(sh))))
+    assert seen == list(range(10))  # exact partition, no overlap, no loss
+    assert abs(len(shards[0]) - len(shards[2])) <= 1  # balanced
