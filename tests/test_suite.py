@@ -85,3 +85,37 @@ def test_multi_model_brief_test(tmp_path):
                          no_wandb=True, no_vis=True, metrics=["mse"])
     assert len(results) == 1
     assert len(results[0]) >= 2
+
+
+@pytest.mark.slow
+def test_action_conditional_training(tmp_path):
+    r"""End-to-end action-conditional training on a SynPick-format fixture
+    (actions threaded through unpack -> model -> loss)."""
+    import json
+    import numpy as np
+
+    # build a miniature SynPick dataset (see test_dataset_fixtures.py)
+    import cv2
+    rng = np.random.default_rng(0)
+    for split in ["train", "val"]:
+        rgb = tmp_path / "data" / "processed" / split / "rgb"
+        gt = tmp_path / "data" / "processed" / split / "scene_gt"
+        rgb.mkdir(parents=True)
+        gt.mkdir(parents=True)
+        gt_dict = {}
+        pos = np.array([0.0, 0.0, 0.0])
+        for f in range(90):
+            img = (rng.random((34, 60, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(rgb / f"{0:06d}_{f:06d}.png"), img)
+            pos = pos + rng.uniform(2, 8, 3)
+            gt_dict[str(f)] = [{"cam_t_m2c": pos.tolist()}]
+        with open(gt / f"{0:06d}_scene_gt.json", "w") as fp:
+            json.dump(gt_dict, fp)
+
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("SPM", data_dir=str(tmp_path / "data"), img_size=(32, 32))
+    suite.create_model("phy", action_conditional=True)
+    best = suite.train(epochs=1, batch_size=2, context_frames=2, pred_frames=2,
+                       steps_per_epoch=1, use_actions=True, no_vis=True,
+                       no_wandb=True, out_dir=str(tmp_path / "run"))
+    assert np.isfinite(best)

@@ -92,6 +92,7 @@ class DefaultRunConfig:
     num_devices: int = 0            #: 0 = use all local devices for data parallelism.
     prefetch_batches: int = 2       #: Host->device pipeline depth.
     steps_per_epoch: int = 0        #: 0 = full pass over the training set.
+    val_batch_size: int = 0         #: 0 = use batch_size (reference used 1; set 1 to reproduce exactly).
     log_every: int = 50             #: Console/JSONL metric logging cadence (steps).
     profile_dir: str = None         #: If set, dump a jax.profiler trace here.
 

@@ -18,8 +18,6 @@ into the conv epilogue) — in-kernel slicing along the lane dimension at
 non-128-aligned offsets fails Mosaic verification. Grid tiles over
 (batch, h-blocks); the channel dim rides the 128-wide vector lanes.
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

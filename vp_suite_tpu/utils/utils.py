@@ -210,7 +210,3 @@ def save_json(obj, fp):
     with open(fp, "w") as f:
         json.dump(obj, f, indent=2, default=str)
 
-
-class TqdmUpTo:
-    r"""Placeholder kept for API parity with the reference download helper."""
-    pass

@@ -331,8 +331,10 @@ class VPSuite:
         train_loader = BatchLoader(train_data, batch_size, shuffle=True,
                                    seed=run_config["seed"], drop_last=True,
                                    uint8_frames=uint8_ok)
-        val_loader = BatchLoader(val_data, batch_size=1, shuffle=False, drop_last=True,
-                                 uint8_frames=uint8_ok)
+        val_bs = run_config.get("val_batch_size", 0) or batch_size
+        val_bs = max(1, min(val_bs, len(val_data)))
+        val_loader = BatchLoader(val_data, batch_size=val_bs, shuffle=False,
+                                 drop_last=True, uint8_frames=uint8_ok)
 
         scheduler = ReduceLROnPlateau(
             run_config["lr"],
