@@ -119,3 +119,33 @@ def test_action_conditional_training(tmp_path):
                        steps_per_epoch=1, use_actions=True, no_vis=True,
                        no_wandb=True, out_dir=str(tmp_path / "run"))
     assert np.isfinite(best)
+
+
+@pytest.mark.slow
+def test_kth_fixture_end_to_end(tmp_path):
+    r"""KTH-format fixture driven through the full train workflow (file-backed
+    loader inside the real training loop)."""
+    import numpy as np
+    import cv2
+    from vp_suite_tpu.datasets.kth import KTHActionsDataset, build_kth_metadata
+
+    processed = tmp_path / "data" / "processed"
+    seed = 0
+    for c in KTHActionsDataset.CLASSES:
+        for person in ["person01", "person02", "person22"]:
+            vid_dir = processed / c / f"{person}_{c}_d1"
+            vid_dir.mkdir(parents=True)
+            rng = np.random.default_rng(seed)
+            seed += 1
+            for f in range(32):
+                img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                cv2.imwrite(str(vid_dir / f"image-{f:03d}_64x64.png"), img)
+    build_kth_metadata(processed, KTHActionsDataset.CLASSES)
+
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("KTH", data_dir=str(tmp_path / "data"), img_size=(32, 32))
+    suite.create_model("unet-3d", temporal_dim=2)
+    best = suite.train(epochs=1, batch_size=4, context_frames=2, pred_frames=2,
+                       steps_per_epoch=2, no_vis=True, no_wandb=True,
+                       out_dir=str(tmp_path / "run"))
+    assert np.isfinite(best)
