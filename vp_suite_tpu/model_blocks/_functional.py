@@ -51,7 +51,8 @@ def conv_transpose2d(x, kernel, bias=None, stride=1, padding=0, output_padding=0
 
 
 def group_norm(x, scale, bias, num_groups, eps=1e-5):
-    r"""GroupNorm over NHWC (torch parity)."""
+    r"""GroupNorm over NHWC (torch parity). Affine params are cast to the
+    activation dtype so mixed-precision scan carries stay uniform."""
     c = x.shape[-1]
     g = num_groups
     orig_shape = x.shape
@@ -60,14 +61,15 @@ def group_norm(x, scale, bias, num_groups, eps=1e-5):
     mean = xg.mean(axis=red, keepdims=True)
     var = xg.var(axis=red, keepdims=True)
     xn = ((xg - mean) * lax.rsqrt(var + eps)).reshape(orig_shape)
-    return xn * scale + bias
+    return xn * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def layer_norm_chw(x, scale, bias, eps=1e-5):
     r"""torch LayerNorm([c,h,w]) parity on NHWC; scale/bias [h, w, c]."""
     mean = x.mean(axis=(-3, -2, -1), keepdims=True)
     var = x.var(axis=(-3, -2, -1), keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps) * scale + bias
+    return ((x - mean) * lax.rsqrt(var + eps) * scale.astype(x.dtype)
+            + bias.astype(x.dtype))
 
 
 def make_dcgan_conv(module, name, in_c, out_c, stride):

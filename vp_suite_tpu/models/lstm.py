@@ -32,7 +32,10 @@ from vp_suite_tpu.utils.models import conv_output_shape
 
 
 def _lstm_cell_step(x, h, c, w_ih, b_ih, w_hh, b_hh):
-    r"""torch nn.LSTMCell math (gate order i, f, g, o)."""
+    r"""torch nn.LSTMCell math (gate order i, f, g, o). Params cast to the
+    activation dtype (mixed-precision scan carries stay uniform)."""
+    w_ih, b_ih = w_ih.astype(x.dtype), b_ih.astype(x.dtype)
+    w_hh, b_hh = w_hh.astype(x.dtype), b_hh.astype(x.dtype)
     gates = x @ w_ih + b_ih + h @ w_hh + b_hh
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
@@ -110,10 +113,12 @@ class LSTM(VPModel):
             y = jax.nn.relu(conv2d(frames, e1_k, e1_b, 2, 3))
             y = jax.nn.relu(conv2d(y, e2_k, e2_b, 2, 1, padding_mode="replicate"))
             y = jax.nn.relu(conv2d(y, e3_k, e3_b, 2, 1, padding_mode="replicate"))
-            return y.reshape(y.shape[0], -1) @ tl_k + tl_b
+            return (y.reshape(y.shape[0], -1) @ tl_k.astype(y.dtype)
+                    + tl_b.astype(y.dtype))
 
         def decode(latent):  # [n, hidden] -> [n, h, w, c]
-            y = (latent @ fl_k + fl_b).reshape(-1, eh, ew, ec)
+            y = (latent @ fl_k.astype(latent.dtype)
+                 + fl_b.astype(latent.dtype)).reshape(-1, eh, ew, ec)
             y = jax.nn.relu(conv_transpose2d(y, d1_k, d1_b, 2, 1))
             y = jax.nn.relu(conv_transpose2d(y, d2_k, d2_b, 2, 1))
             y = conv_transpose2d(y, d3_k, d3_b, 2, 3)
@@ -133,7 +138,9 @@ class LSTM(VPModel):
                 raise ValueError("Given actions are None or of the wrong size!")
 
             def with_action(latent, action):
-                return jnp.concatenate([latent, action.reshape(b, -1) @ ai_k + ai_b], axis=-1)
+                a = (action.reshape(b, -1).astype(latent.dtype)
+                     @ ai_k.astype(latent.dtype) + ai_b.astype(latent.dtype))
+                return jnp.concatenate([latent, a], axis=-1)
         else:
             def with_action(latent, action):
                 return latent

@@ -141,7 +141,8 @@ class STPhy(VPModel):
             next_input = g * enc_t + (1.0 - g) * x_gen
 
             if self.action_conditional:
-                ac = (a_t @ ai_k).reshape(-1, eh, ew, self.inflated_action_dim)
+                ac = (a_t.astype(next_input.dtype) @ ai_k.astype(next_input.dtype)) \
+                    .reshape(-1, eh, ew, self.inflated_action_dim)
                 inflated_action = (conv2d(ac, ah_k, None, 1, (2, 0))
                                    + conv2d(ac, aw_k, None, 1, (0, 2)))
 
