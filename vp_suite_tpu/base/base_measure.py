@@ -5,8 +5,6 @@ TPU-native analog of the reference ``VPMeasure``
 of ``(pred, target)`` 5-D arrays in NTHWC layout. The lower-is-better internal
 convention and the ``to_display`` inversion hook are preserved.
 """
-import typing
-
 import jax
 import jax.numpy as jnp
 

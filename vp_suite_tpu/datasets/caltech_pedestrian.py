@@ -8,7 +8,6 @@ counts are established by decoding each sequence once at prepare time).
 import json
 import os
 import random
-from pathlib import Path
 
 import numpy as np
 

@@ -5,7 +5,6 @@ the per-prediction-horizon sweep (metrics for every prefix 1..T).
 """
 import warnings
 
-import jax.numpy as jnp
 import numpy as np
 
 from vp_suite_tpu.measure import METRIC_CLASSES

@@ -6,8 +6,6 @@ bodies closing over those arrays. These helpers implement the raw ops with
 PyTorch-parity semantics (see ``vp_suite_tpu/nn/layers.py`` for the module
 versions and the parity rationale).
 """
-import math
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -20,8 +20,6 @@ Parameter layout matches a reshaped torch checkpoint:
 ``kernel [kh, kw, in+enc, 4*enc]`` (gate order i, f, c, o on the last axis),
 peepholes ``wci/wcf/wco [state_h, state_w, enc]``.
 """
-import typing
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -17,8 +17,6 @@ LSTM warm-up is a ``lax.scan`` over the latent sequence, and the
 autoregressive decode is a ``lax.scan`` whose carry holds the cell states +
 last latent (the decoder/encoder conv params are closed over as arrays).
 """
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from typing import Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from vp_suite_tpu.base.base_model import VPModel
 from vp_suite_tpu.nn.layers import Conv2d, ConvTranspose2d, max_pool_2d

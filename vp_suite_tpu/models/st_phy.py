@@ -22,7 +22,7 @@ from vp_suite_tpu.model_blocks._functional import (
 from vp_suite_tpu.model_blocks.predrnn import make_st_lstm_cell
 from vp_suite_tpu.model_blocks.phydnet import (
     make_phycell_cell, moment_loss, moment_constraints)
-from vp_suite_tpu.nn.layers import torch_kernel_init, torch_bias_init
+from vp_suite_tpu.nn.layers import torch_kernel_init
 from vp_suite_tpu.ops.image import resize_bilinear
 from vp_suite_tpu.utils.models import conv_output_shape
 

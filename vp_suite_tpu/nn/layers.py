@@ -15,7 +15,7 @@ Initializers default to torch's ``kaiming_uniform(a=sqrt(5))`` conv/linear
 scheme so training dynamics are comparable out of the box.
 """
 import math
-from typing import Any, Sequence, Tuple, Union
+from typing import Any, Tuple, Union
 
 import flax.linen as nn
 import jax

@@ -5,7 +5,6 @@ Replaces the reference's torchvision ``Resize`` calls inside models (e.g.
 ``jax.image.resize`` (method='linear' == torch bilinear, align_corners=False).
 """
 import jax
-import jax.numpy as jnp
 
 
 def resize_bilinear(x, size):

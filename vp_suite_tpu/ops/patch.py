@@ -4,9 +4,6 @@ NHWC equivalents of the reference's ``_reshape_patch`` / ``_reshape_patch_back``
 (``vp_suite/models/predrnn_v2.py:232-250``). Channel ordering of the packed
 patches is (p_h, p_w, c), matching the reference so converted weights line up.
 """
-import jax.numpy as jnp
-
-
 def patchify(x, patch_size: int):
     r"""[b, t, h, w, c] -> [b, t, h/p, w/p, p*p*c] with packed-channel order
     (p_h, p_w, c)."""

@@ -8,7 +8,6 @@ waits on input (double buffering host->HBM).
 """
 import collections
 import concurrent.futures as cf
-import threading
 
 import numpy as np
 

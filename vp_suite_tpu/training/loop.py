@@ -8,8 +8,6 @@ fwd→loss→bwd→update happens on-device, with data parallelism expressed pur
 through input shardings (batch sharded, params replicated → XLA emits the
 gradient ``psum`` over the mesh's ICI automatically).
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import optax

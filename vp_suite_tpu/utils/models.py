@@ -4,7 +4,6 @@ comparison.
 Capability parity with ``vp_suite/utils/models.py:7-193``; adapters are pure
 jittable functions instead of nn.Modules.
 """
-import jax.numpy as jnp
 import numpy as np
 
 
