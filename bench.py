@@ -25,6 +25,8 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
+    from vp_suite_tpu.utils.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import optax
     from vp_suite_tpu.models import MODEL_CLASSES

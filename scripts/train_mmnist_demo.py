@@ -20,6 +20,9 @@ def main():
     parser.add_argument("--img", type=int, default=64)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--out", default="/tmp/vp_mmnist_demo")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the checkpoint in --out")
+    parser.add_argument("--skip-test", action="store_true")
     args = parser.parse_args()
 
     if args.cpu:
@@ -31,13 +34,20 @@ def main():
     suite.load_dataset("MMF", img_size=args.img, backend="native",
                        digit_source="synthetic",
                        n_seqs={"train": 9600, "val": 64, "test": 64})
-    suite.create_model("convlstm-shi")
+    from pathlib import Path as _P
+    if args.resume and (_P(args.out) / "best_model").exists():
+        suite.load_model(args.out, "best_model")
+    else:
+        suite.create_model("convlstm-shi")
     best = suite.train(epochs=args.epochs, batch_size=args.batch,
                        context_frames=5, pred_frames=10,
                        steps_per_epoch=args.steps, no_vis=True, no_wandb=True,
                        compute_dtype="bfloat16", out_dir=args.out,
                        log_every=25)
 
+    if args.skip_test:
+        print(json.dumps({"best_val_mse": best}))
+        return
     suite.load_dataset("MMF", split="test", img_size=args.img, backend="native",
                        digit_source="synthetic", n_seqs=64)
     results = suite.test(brief_test=False, context_frames=5, pred_frames=10,

@@ -210,3 +210,20 @@ def save_json(obj, fp):
     with open(fp, "w") as f:
         json.dump(obj, f, indent=2, default=str)
 
+
+
+def enable_compilation_cache(cache_dir=None):
+    r"""Enables JAX's persistent compilation cache (huge win on backends with
+    slow remote compilation: process restarts reuse compiled executables).
+    Safe to call multiple times; returns the cache dir or None on failure."""
+    import jax
+    from vp_suite_tpu.defaults import SETTINGS
+    cache_dir = str(cache_dir or (SETTINGS.RUN_PATH / "jax_cache"))
+    try:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return cache_dir
+    except Exception:
+        return None

@@ -65,8 +65,11 @@ class ModelEntry:
 
 
 class VPSuite:
-    def __init__(self, device: str = "auto"):
+    def __init__(self, device: str = "auto", compilation_cache: bool = True):
         r"""device: 'auto' (TPU if present, else CPU), 'tpu', or 'cpu'."""
+        if compilation_cache:
+            from vp_suite_tpu.utils.utils import enable_compilation_cache
+            enable_compilation_cache()
         if device == "auto":
             platforms = {d.platform for d in jax.devices()}
             device = "tpu" if "tpu" in platforms else "cpu"
