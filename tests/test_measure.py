@@ -107,3 +107,30 @@ def test_metric_provider_horizons():
     out = mp.get_metrics(a, b, all_frame_cnts=True)
     assert len(out) == SHAPE[1]
     assert all("mse (↓)" in d and "psnr (↑)" in d for d in out)
+
+
+@pytest.mark.slow
+def test_fvd_in_metric_provider():
+    r"""FVD through the provider: needs >= 9 frames; chunking for > 16."""
+    from vp_suite_tpu.measure.metric_provider import PredictionMetricProvider
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((1, 9, 16, 16, 3)).astype(np.float32))
+    b = jnp.asarray(rng.random((1, 9, 16, 16, 3)).astype(np.float32))
+    mp = PredictionMetricProvider({"device": None, "metrics": ["mse", "fvd"], "img_c": 3})
+    out = mp.get_metrics(a, b)  # single horizon (t=9)
+    assert "mse (↓)" in out[0]
+    assert "fvd (↓)" in out[0]
+    assert np.isfinite(out[0]["fvd (↓)"])
+    # identical inputs -> FVD ~ 0
+    out_eq = mp.get_metrics(a, a)
+    assert abs(out_eq[0]["fvd (↓)"]) < 1e-3
+
+
+@pytest.mark.slow
+def test_fvd_chunking_plan():
+    from vp_suite_tpu.measure.fvd.fvd import calculate_n_chunks
+    assert calculate_n_chunks(9) == (1, False)
+    assert calculate_n_chunks(16) == (1, False)
+    assert calculate_n_chunks(8)[0] == -1          # too short
+    n, drop = calculate_n_chunks(25)               # 25 = 16 + 9 -> lossless
+    assert n >= 2 and not drop
