@@ -91,3 +91,33 @@ def test_gradients_flow():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_ef_rejects_wrong_output_size():
+    r"""EF conv arithmetic validation (parity: ef_blocks.py:161-167): an image
+    size the conv stack can't reproduce must raise at init."""
+    cls = MODEL_CLASSES["convlstm-shi"]
+    model = cls(img_shape=(3, 30, 30), action_size=0, tensor_value_range=(0.0, 1.0))
+    with pytest.raises(AttributeError, match="wrong output size"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 30, 30, 3)), pred_frames=1)
+
+
+def test_lstm_rejects_wrong_image_size():
+    model = _build("lstm")
+    with pytest.raises(ValueError, match="does not match"):
+        x = jnp.zeros((1, 2, IMG * 2, IMG * 2, 3))
+        model.init(jax.random.PRNGKey(0), x, pred_frames=1)
+
+
+def test_predrnn_requires_complete_input():
+    model = _build("predrnn-pp")
+    x = jnp.zeros((1, 1, IMG, IMG, 3))
+    with pytest.raises(ValueError, match="include"):
+        model.init(jax.random.PRNGKey(0), x, pred_frames=1)
+
+
+def test_doc_tables_generate(tmp_path):
+    import docs.build_doc_tables as bdt
+    assert "convlstm-shi" in bdt.model_table()
+    assert "MMF" in bdt.dataset_table()
+    assert "fvd" in bdt.measure_table()
