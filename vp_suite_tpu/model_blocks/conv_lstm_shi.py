@@ -44,6 +44,9 @@ class ConvLSTMShi(VPModelBlock):
     padding: int = 1
     use_pallas: bool = False  #: fuse the gate/peephole elementwise block with Pallas.
     remat: bool = True        #: rematerialize the scan body in backward (HBM saver).
+    remat_policy: str = "gates"  #: 'full' recomputes everything; 'gates' saves the
+    #: per-step gate pre-activations so the backward pass skips the hidden-half
+    #: conv recompute (trades ~HBM for ~half the remat FLOPs).
 
     @nn.compact
     def __call__(self, inputs, states, seq_len: int):
@@ -96,6 +99,9 @@ class ConvLSTMShi(VPModelBlock):
         def step(carry, i2h_step):
             h, c = carry
             gates = i2h_step + conv2d(h, h_kernel, None, self.stride, self.padding)
+            if self.remat_policy == "gates":
+                from jax.ad_checkpoint import checkpoint_name
+                gates = checkpoint_name(gates, "convlstm_gates")
             if self.use_pallas:
                 from vp_suite_tpu.ops.pallas_cells import convlstm_gate_fuse
                 h_new, c_new = convlstm_gate_fuse(gates, c, wci, wcf, wco)
@@ -109,7 +115,12 @@ class ConvLSTMShi(VPModelBlock):
             return (h_new, c_new), h_new
 
         if self.remat:
-            step = jax.checkpoint(step)
+            if self.remat_policy == "gates":
+                step = jax.checkpoint(
+                    step, policy=jax.checkpoint_policies.save_only_these_names(
+                        "convlstm_gates"))
+            else:
+                step = jax.checkpoint(step)
         (h_last, c_last), outputs = lax.scan(step, (h0, c0), i2h_t)
         outputs = jnp.moveaxis(outputs, 0, 1)  # [b, t, sh, sw, enc]
         return outputs, (h_last, c_last)
