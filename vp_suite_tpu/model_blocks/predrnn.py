@@ -70,9 +70,15 @@ def make_st_lstm_cell(module, name, in_channel, num_hidden, height, width,
         return x
 
     def step(x_t, h_t, c_t, m_t, a_t=None):
-        x_concat = _maybe_ln(conv2d(x_t, cx_k, cx_b, stride, pad), "ln_x")
+        from jax.ad_checkpoint import checkpoint_name
+        # named for selective remat: saving the gate pre-activations lets the
+        # backward pass skip recomputing the three big gate convolutions
+        x_concat = checkpoint_name(
+            _maybe_ln(conv2d(x_t, cx_k, cx_b, stride, pad), "ln_x"), "st_gates")
         h_concat = _maybe_ln(conv2d(h_t, ch_k, ch_b, stride, pad), "ln_h")
         m_concat = _maybe_ln(conv2d(m_t, cm_k, cm_b, stride, pad), "ln_m")
+        h_concat = checkpoint_name(h_concat, "st_gates")
+        m_concat = checkpoint_name(m_concat, "st_gates")
         if action_conditional:
             a_concat = _maybe_ln(conv2d(a_t, ca_k, ca_b, stride, pad), "ln_a")
             h_concat = h_concat * a_concat

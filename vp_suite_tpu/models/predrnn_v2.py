@@ -286,7 +286,8 @@ class PredRNN_V2(VPModel):
               jnp.moveaxis(a_patch[:, :total_frames - 1], 1, 0) if a_patch is not None
               else jnp.zeros((total_frames - 1, b, 1, 1, 1), x.dtype))
         if self.remat:
-            step = jax.checkpoint(step)
+            step = jax.checkpoint(
+                step, policy=jax.checkpoint_policies.save_only_these_names("st_gates"))
         (_, _, _, _, dl_sum), next_frames = lax.scan(
             step, (h0, c0, memory0, x_gen0, jnp.float32(0.0)), xs)
 
