@@ -100,7 +100,10 @@ class TrajGRU(VPModelBlock):
             warped = [warp_flow(prev_h, -flows[..., 2 * j:2 * j + 2])
                       for j in range(self.L)]
             warped = jnp.concatenate(warped, axis=-1)            # [b, sh, sw, L*f]
-            return conv2d(warped, ret_k, ret_b, 1, 0)            # [b, sh, sw, 3f]
+            from jax.ad_checkpoint import checkpoint_name
+            # named for selective remat: saving h2h lets the backward skip
+            # recomputing the flow generator + L warps + ret conv
+            return checkpoint_name(conv2d(warped, ret_k, ret_b, 1, 0), "trajgru_h2h")
 
         def step_with_input(prev_h, x):
             i2h_step, i2f_step = x
@@ -123,8 +126,9 @@ class TrajGRU(VPModelBlock):
             return next_h, next_h
 
         if self.remat:
-            step_with_input = jax.checkpoint(step_with_input)
-            step_decode = jax.checkpoint(step_decode)
+            policy = jax.checkpoint_policies.save_only_these_names("trajgru_h2h")
+            step_with_input = jax.checkpoint(step_with_input, policy=policy)
+            step_decode = jax.checkpoint(step_decode, policy=policy)
         if xs is not None:
             next_h, outputs = lax.scan(step_with_input, states, xs)
         else:

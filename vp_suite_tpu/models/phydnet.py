@@ -129,9 +129,11 @@ class PhyDNet(VPModel):
                 inp = jnp.concatenate([inp, inflated], axis=-1)
             new_ch, new_cc = [], []
             cur = inp
+            from jax.ad_checkpoint import checkpoint_name
             for j, (kk, bb, hid) in enumerate(conv_cells):
                 combined = jnp.concatenate([cur, conv_h[j]], axis=-1)
-                gates = conv2d(combined, kk, bb, 1, cpad)
+                gates = checkpoint_name(conv2d(combined, kk, bb, 1, cpad),
+                                        "convlstm_gates")
                 h_j, c_j = convlstm_ndrplz_gates(gates, conv_c[j])
                 new_ch.append(h_j)
                 new_cc.append(c_j)
@@ -172,7 +174,9 @@ class PhyDNet(VPModel):
               jnp.moveaxis(actions[:, :n_steps], 1, 0),
               use_gt)
         if self.remat:
-            step = jax.checkpoint(step)
+            step = jax.checkpoint(
+                step, policy=jax.checkpoint_policies.save_only_these_names(
+                    "convlstm_gates"))
         _, outs = lax.scan(step, (phy_h0, conv_h0, conv_c0, prev0), xs)
         outs = jnp.moveaxis(outs, 0, 1)  # [b, n_steps, h, w, c]
 

@@ -170,7 +170,8 @@ class STPhy(VPModel):
                   jnp.zeros((b, eh, ew, stc), x.dtype), jnp.float32(0.0))
         xs = (jnp.moveaxis(enc_all, 1, 0), jnp.moveaxis(actions[:, :n_steps], 1, 0), use_gt)
         if self.remat:
-            step = jax.checkpoint(step)
+            step = jax.checkpoint(
+                step, policy=jax.checkpoint_policies.save_only_these_names("st_gates"))
         (_, _, _, _, _, dl_sum), outs = lax.scan(step, carry0, xs)
         outs = jnp.moveaxis(outs, 0, 1)
 
