@@ -114,6 +114,21 @@ def test_grid_sample_matches_torch():
     assert np.abs(ours - theirs).max() < ATOL
 
 
+def test_warp_flow_multi_matches_per_flow_warp():
+    r"""The matmul-form multi-warp must equal per-flow gather warps (which
+    are themselves torch-parity-tested via grid_sample above)."""
+    from vp_suite_tpu.ops.grid_sample import warp_flow, warp_flow_multi
+    import jax
+    L = 5
+    img = jnp.asarray(_x((2, 11, 13, 4)))
+    flows = jnp.asarray(RNG.random((2, 11, 13, 2 * L)).astype(np.float32) * 10 - 5)
+    ref = jnp.concatenate([warp_flow(img, flows[..., 2 * j:2 * j + 2])
+                           for j in range(L)], axis=-1)
+    with jax.default_matmul_precision("highest"):
+        got = warp_flow_multi(img, flows)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < ATOL
+
+
 def test_resize_matches_torch_interpolate():
     from vp_suite_tpu.ops.image import resize_bilinear
     img = _x((2, 8, 8, 3))

