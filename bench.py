@@ -21,7 +21,8 @@ BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
 
 
 def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bfloat16",
-                 platform=None, remat=True, use_pallas=False, model_id="convlstm-shi"):
+                 platform=None, remat=True, use_pallas=False, model_id="convlstm-shi",
+                 unroll=1):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -39,6 +40,7 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
                   tensor_value_range=(0.0, 1.0), compute_dtype=dtype, remat=remat)
     if model_id == "convlstm-shi":
         kwargs["use_pallas"] = use_pallas
+        kwargs["scan_unroll"] = unroll
     if model_id == "unet-3d":
         kwargs["temporal_dim"] = min(ctx, 3)
     model = MODEL_CLASSES[model_id](**kwargs)
@@ -166,6 +168,8 @@ def main():
                         help="disable scan-body rematerialization")
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas gate kernel")
+    parser.add_argument("--unroll", type=int, default=1,
+                        help="lax.scan unroll factor for ConvLSTM cells")
     parser.add_argument("--model", default="convlstm-shi",
                         help="model registry id (BASELINE.json configs: "
                              "convlstm-shi on MM, predrnn-pp/unet-3d on KTH shapes, "
@@ -176,12 +180,13 @@ def main():
         ours = measure_ours(img=16, ctx=2, pred=2, batch=4, steps=3,
                             compute_dtype=args.dtype, platform=args.platform,
                             remat=not args.no_remat, use_pallas=args.pallas,
-                            model_id=args.model)
+                            model_id=args.model, unroll=args.unroll)
         baseline = {"torch_cpu_train_fps": None, "note": "smoke run, no baseline"}
     else:
         ours = measure_ours(compute_dtype=args.dtype, platform=args.platform,
                             steps=args.steps, remat=not args.no_remat,
-                            use_pallas=args.pallas, model_id=args.model)
+                            use_pallas=args.pallas, model_id=args.model,
+                            unroll=args.unroll)
         baseline = get_torch_baseline(refresh=args.refresh_baseline)
 
     base_fps = baseline.get("torch_cpu_train_fps")

@@ -47,6 +47,8 @@ class ConvLSTMShi(VPModelBlock):
     remat_policy: str = "gates"  #: 'full' recomputes everything; 'gates' saves the
     #: per-step gate pre-activations so the backward pass skips the hidden-half
     #: conv recompute (trades ~HBM for ~half the remat FLOPs).
+    scan_unroll: int = 1  #: lax.scan unroll factor — lets XLA fuse across steps
+    #: at the cost of a bigger compiled program.
 
     @nn.compact
     def __call__(self, inputs, states, seq_len: int):
@@ -121,6 +123,7 @@ class ConvLSTMShi(VPModelBlock):
                         "convlstm_gates"))
             else:
                 step = jax.checkpoint(step)
-        (h_last, c_last), outputs = lax.scan(step, (h0, c0), i2h_t)
+        (h_last, c_last), outputs = lax.scan(step, (h0, c0), i2h_t,
+                                             unroll=self.scan_unroll)
         outputs = jnp.moveaxis(outputs, 0, 1)  # [b, t, sh, sw, enc]
         return outputs, (h_last, c_last)

@@ -53,6 +53,7 @@ class EF_ConvLSTM(EncoderForecasterBase):
     use_pallas: bool = False  #: route cell gates through the fused Pallas kernel.
     remat_policy: str = "gates"  #: cell remat policy ('full' | 'gates'; 'gates' saves
     #: per-step gate pre-activations: ~5%% faster backward, more HBM).
+    scan_unroll: int = 1  #: lax.scan unroll factor for the cell time loops.
 
     def _build_encoder_decoder(self):
         r"""Assembles conv specs + ConvLSTM blocks per stage
@@ -71,7 +72,8 @@ class EF_ConvLSTM(EncoderForecasterBase):
                 state_h=self.enc_rnn_state_h[n], state_w=self.enc_rnn_state_w[n],
                 kernel_size=self.enc_rnn_k[n], stride=self.enc_rnn_s[n],
                 padding=self.enc_rnn_p[n], use_pallas=self.use_pallas,
-                remat_policy=self.remat_policy, name=f"enc_rnn{n+1}"))
+                remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
+                name=f"enc_rnn{n+1}"))
             layer_in_c = layer_out_c
 
         dec_convs, dec_rnns = [], []
@@ -83,7 +85,8 @@ class EF_ConvLSTM(EncoderForecasterBase):
                 state_h=self.dec_rnn_state_h[n], state_w=self.dec_rnn_state_w[n],
                 kernel_size=self.dec_rnn_k[n], stride=self.dec_rnn_s[n],
                 padding=self.dec_rnn_p[n], use_pallas=self.use_pallas,
-                remat_policy=self.remat_policy, name=f"dec_rnn{n+1}"))
+                remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
+                name=f"dec_rnn{n+1}"))
             dec_conv_dict = {
                 self.dec_conv_names[n]: (layer_mid_c, layer_out_c, self.dec_conv_k[n],
                                          self.dec_conv_s[n], self.dec_conv_p[n])
