@@ -121,17 +121,11 @@ def warp_flow_multi(img, flows):
     A = _onehot_factor(iy.reshape(b, L, h * w), h, img.dtype)   # [b,L,p,h]
     Bm = _onehot_factor(ix.reshape(b, L, h * w), w, img.dtype)  # [b,L,p,w]
 
-    def one(_, ab):
-        a, bm = ab                                   # [b,p,h], [b,p,w]
-        u = jnp.einsum("bpy,byxc->bpxc", a, img)     # MXU contraction
-        return _, jnp.einsum("bpx,bpxc->bpc", bm, u)
-
-    # remat per flow: the [b, p, w, c] intermediate is the big temp here
-    # (1.6 GB at 64x64x96 x batch 32) — without this the backward keeps all
-    # L of them live at once and OOMs 16 GB HBM.
-    one = jax.checkpoint(one)
-    _, outs = jax.lax.scan(one, 0, (jnp.moveaxis(A, 1, 0), jnp.moveaxis(Bm, 1, 0)))
-    outs = jnp.moveaxis(outs, 0, 1).reshape(b, L, h, w, c)      # [b,L,h,w,c]
+    # the contraction runs as a Pallas kernel on TPU (VMEM-resident
+    # intermediate) with an einsum fallback elsewhere; both accumulate f32
+    # and share a hand-written matmul-form VJP (see ops/pallas_warp.py)
+    from vp_suite_tpu.ops.pallas_warp import warp_contract
+    outs = warp_contract(A, Bm, img).reshape(b, L, h, w, c)
     return jnp.moveaxis(outs, 1, 3).reshape(b, h, w, L * c)
 
 
