@@ -61,3 +61,50 @@ def test_fused_backward_matches_reference(pallas_interpret):
     gr = jax.grad(loss(pc.convlstm_gate_reference), argnums=tuple(range(5)))(*args)
     for a, b in zip(gp, gr):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
+
+
+def test_warp_kernel_matches_einsum_interpret():
+    r"""The Pallas warp kernel (interpret mode) must match the einsum path."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    rng = np.random.default_rng(1)
+    b, L, h, w, c = 2, 3, 16, 16, 8
+    P = h * w  # 256: 128-divisible, kernel-eligible shape
+    A = jnp.asarray(rng.random((b, L, P, h)).astype(np.float32))
+    Bm = jnp.asarray(rng.random((b, L, P, w)).astype(np.float32))
+    img = jnp.asarray(rng.random((b, h, w, c)).astype(np.float32))
+    ref = pw._warp_contract_einsum(A, Bm, img)
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    try:
+        got = pw._warp_contract_pallas(A, Bm, img)
+    finally:
+        pl.pallas_call = orig
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
+
+
+def test_warp_custom_vjp_matches_autodiff():
+    r"""The hand-written warp VJP must match autodiff through the einsum form."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    rng = np.random.default_rng(2)
+    b, L, h, w, c = 2, 3, 5, 7, 4
+    P = h * w  # odd shape: einsum path on every backend
+    A = jnp.asarray(rng.random((b, L, P, h)).astype(np.float32))
+    Bm = jnp.asarray(rng.random((b, L, P, w)).astype(np.float32))
+    img = jnp.asarray(rng.random((b, h, w, c)).astype(np.float32))
+
+    def via_custom(a, bm, i):
+        return jnp.sum(pw.warp_contract(a, bm, i) ** 2)
+
+    def via_autodiff(a, bm, i):
+        return jnp.sum(pw._warp_contract_einsum(a, bm, i) ** 2)
+
+    gc = jax.grad(via_custom, argnums=(0, 1, 2))(A, Bm, img)
+    ga = jax.grad(via_autodiff, argnums=(0, 1, 2))(A, Bm, img)
+    for x, y in zip(gc, ga):
+        assert np.abs(np.asarray(x) - np.asarray(y)).max() < 1e-4
