@@ -108,3 +108,31 @@ def test_warp_custom_vjp_matches_autodiff():
     ga = jax.grad(via_autodiff, argnums=(0, 1, 2))(A, Bm, img)
     for x, y in zip(gc, ga):
         assert np.abs(np.asarray(x) - np.asarray(y)).max() < 1e-4
+
+
+def test_warp_bwd_kernels_match_einsum_bwd_interpret():
+    r"""The Pallas backward kernels (interpret mode) must match the
+    einsum-form VJP."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    rng = np.random.default_rng(4)
+    b, L, h, w, c = 2, 3, 16, 16, 8
+    P = h * w
+    A = jnp.asarray(rng.random((b, L, P, h)).astype(np.float32))
+    Bm = jnp.asarray(rng.random((b, L, P, w)).astype(np.float32))
+    img = jnp.asarray(rng.random((b, h, w, c)).astype(np.float32))
+    g = jnp.asarray(rng.random((b, L, P, c)).astype(np.float32))
+    ref = pw._warp_bwd((A, Bm, img), g)  # einsum path (CPU: _use_pallas False)
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = patched
+    try:
+        got = pw._warp_bwd_pallas(A, Bm, img, g)
+    finally:
+        pl.pallas_call = orig
+    for r, q in zip(ref, got):
+        assert np.abs(np.asarray(r) - np.asarray(q)).max() < 1e-4

@@ -16,8 +16,10 @@ rejected). Measured on [32, 64, 64, 96] x 13 flows: 8.9 ms vs 21.5 ms for the
 einsum path vs 65 ms for XLA gathers.
 
 Numerics match the einsum path (f32 accumulation either way). The backward is
-a hand-written VJP in einsum form — the gradient contractions are themselves
-matmuls, scanned per flow so only one intermediate is live at a time.
+a hand-written VJP: on TPU-eligible shapes two more Pallas kernels (d_img
+accumulated across the flow/tile grid; d_A and d_Bm from a shared
+``img @ g^T`` intermediate), otherwise the same contractions in einsum form
+scanned per flow so only one intermediate is live at a time.
 
 Reference behavior being accelerated: ``vp_suite/model_blocks/traj_gru.py:
 149-164`` (L grid_sample warps).
@@ -78,6 +80,95 @@ def _warp_contract_pallas(A, Bm, img):
     return out.transpose(0, 1, 3, 2)   # [b, L, P, c]
 
 
+def _warp_bwd_dimg_kernel(a_ref, bm_ref, g_ref, out_ref):
+    r"""d_img[(y,x), c] += M[(y,x), p_tile] @ g[p_tile, c], accumulated over
+    the (flow, pixel-tile) grid steps (out block constant in those dims).
+
+    a_ref [1,1,H,PT], bm_ref [1,1,W,PT], g_ref [1,1,C,PT] (grad, pixels on
+    lanes), out_ref [1, H*W, C] f32.
+    """
+    h, pt = a_ref.shape[2], a_ref.shape[3]
+    w = bm_ref.shape[2]
+    a = a_ref[0, 0]
+    bm = bm_ref[0, 0]
+    m = (a[:, None, :] * bm[None, :, :]).reshape(h * w, pt)
+    # [HW, PT] x [C, PT] contracting PT -> [HW, C]
+    contrib = lax.dot_general(m, g_ref[0, 0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        out_ref[0] += contrib
+
+
+def _warp_bwd_dab_kernel(img_ref, g_ref, a_ref, bm_ref, da_ref, dbm_ref):
+    r"""Factor gradients from the shared intermediate T = img @ g^T:
+
+        d_a[y, p]  = sum_x bm[x, p] * T[(y,x), p]
+        d_bm[x, p] = sum_y a[y, p]  * T[(y,x), p]
+
+    img_ref [1, H*W, C], g_ref [1,1,C,PT], a/bm as in the forward kernel.
+    """
+    h, pt = a_ref.shape[2], a_ref.shape[3]
+    w = bm_ref.shape[2]
+    t = jnp.dot(img_ref[0], g_ref[0, 0],
+                preferred_element_type=jnp.float32).reshape(h, w, pt)
+    a = a_ref[0, 0].astype(jnp.float32)
+    bm = bm_ref[0, 0].astype(jnp.float32)
+    da_ref[0, 0] = jnp.sum(t * bm[None, :, :], axis=1).astype(da_ref.dtype)
+    dbm_ref[0, 0] = jnp.sum(t * a[:, None, :], axis=0).astype(dbm_ref.dtype)
+
+
+def _warp_bwd_pallas(A, Bm, img, g):
+    b, L, P, h = A.shape
+    w = Bm.shape[-1]
+    c = img.shape[-1]
+    a_t = A.transpose(0, 1, 3, 2)                    # [b, L, h, P]
+    bm_t = Bm.transpose(0, 1, 3, 2)                  # [b, L, w, P]
+    g_t = g.transpose(0, 1, 3, 2)                    # [b, L, c, P]
+    img_flat = img.reshape(b, h * w, c)
+
+    d_img = pl.pallas_call(
+        _warp_bwd_dimg_kernel,
+        grid=(b, L, P // _PT),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, w, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        ],
+        out_specs=pl.BlockSpec((1, h * w, c), lambda bi, li, pi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.float32),
+    )(a_t, bm_t, g_t)
+
+    d_a_t, d_bm_t = pl.pallas_call(
+        _warp_bwd_dab_kernel,
+        grid=(b, L, P // _PT),
+        in_specs=[
+            pl.BlockSpec((1, h * w, c), lambda bi, li, pi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, h, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, w, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, h, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, w, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, L, h, P), A.dtype),
+            jax.ShapeDtypeStruct((b, L, w, P), Bm.dtype),
+        ],
+    )(img_flat, g_t, a_t, bm_t)
+
+    d_A = d_a_t.transpose(0, 1, 3, 2)
+    d_Bm = d_bm_t.transpose(0, 1, 3, 2)
+    return d_A, d_Bm, d_img.reshape(b, h, w, c).astype(img.dtype)
+
+
 def _warp_contract_einsum(A, Bm, img):
     def one(_, ab):
         a, bm = ab                                   # [b,p,h], [b,p,w]
@@ -116,6 +207,8 @@ def _warp_fwd(A, Bm, img):
 
 def _warp_bwd(res, g):
     A, Bm, img = res
+    if _use_pallas(A):
+        return _warp_bwd_pallas(A, Bm, img, g)
 
     def one(d_img, albm):
         a, bm, gl = albm                                  # [b,p,h] [b,p,w] [b,p,c]
