@@ -117,7 +117,14 @@ def test_predrnn_requires_complete_input():
 
 
 def test_doc_tables_generate(tmp_path):
-    import docs.build_doc_tables as bdt
+    # import by file path: the impl-match tests put the reference repo on
+    # sys.path, whose own 'docs' package would shadow ours by name
+    import importlib.util
+    from pathlib import Path
+    path = Path(__file__).resolve().parents[1] / "docs" / "build_doc_tables.py"
+    spec = importlib.util.spec_from_file_location("vpt_build_doc_tables", path)
+    bdt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bdt)
     assert "convlstm-shi" in bdt.model_table()
     assert "MMF" in bdt.dataset_table()
     assert "fvd" in bdt.measure_table()
