@@ -23,6 +23,8 @@ def main():
     parser.add_argument("--resume", action="store_true",
                         help="continue from the checkpoint in --out")
     parser.add_argument("--skip-test", action="store_true")
+    parser.add_argument("--model", default="convlstm-shi",
+                        help="model registry id to train")
     args = parser.parse_args()
 
     if args.cpu:
@@ -38,7 +40,7 @@ def main():
     if args.resume and (_P(args.out) / "best_model").exists():
         suite.load_model(args.out, "best_model")
     else:
-        suite.create_model("convlstm-shi")
+        suite.create_model(args.model)
     best = suite.train(epochs=args.epochs, batch_size=args.batch,
                        context_frames=5, pred_frames=10,
                        steps_per_epoch=args.steps, no_vis=True, no_wandb=True,
