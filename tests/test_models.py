@@ -128,3 +128,19 @@ def test_doc_tables_generate(tmp_path):
     assert "convlstm-shi" in bdt.model_table()
     assert "MMF" in bdt.dataset_table()
     assert "fvd" in bdt.measure_table()
+
+
+def test_trajgru_zoneout():
+    r"""zoneout keeps the previous hidden state per channel (intended
+    semantics; the reference's branch is inert — see traj_gru.py docstring).
+    z=1 must freeze the state entirely; z=0 (default) is the plain path."""
+    from vp_suite_tpu.model_blocks.traj_gru import TrajGRU
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 16, 16, 3).astype(np.float32))
+    cell = TrajGRU(in_channels=3, enc_channels=8, state_h=16, state_w=16)
+    v = cell.init({"params": jax.random.PRNGKey(0)}, x, None, 4)
+    out0, _ = cell.apply(v, x, None, 4)
+    assert float(jnp.abs(out0).max()) > 0
+    frozen = TrajGRU(in_channels=3, enc_channels=8, state_h=16, state_w=16,
+                     zoneout=1.0)
+    out1, _ = frozen.apply(v, x, None, 4, rngs={"zoneout": jax.random.PRNGKey(1)})
+    assert float(jnp.abs(out1).max()) == 0.0

@@ -50,7 +50,12 @@ class TrajGRU(VPModelBlock):
     enc_channels: int
     state_h: int            #: input feature-map height (reference ``in_h``).
     state_w: int
-    zoneout: float = 0.0
+    zoneout: float = 0.0    #: per-channel prob of KEEPING the previous hidden
+    #: state (intended zoneout semantics; needs a 'zoneout' rng). NOTE: the
+    #: reference's zoneout branch (traj_gru.py:208-210) is inert — dropout2d
+    #: over a zeros tensor stays zeros, so its torch.where always picks
+    #: prev_h, freezing the state. We implement what it intends instead.
+    #: Defaults to 0.0 (off) in every config, like the reference.
     L: int = 5
     i2h_kernel: Tuple[int, int] = (3, 3)
     i2h_stride: Tuple[int, int] = (1, 1)
@@ -107,8 +112,21 @@ class TrajGRU(VPModelBlock):
             # recomputing the flow generator + L warps + ret conv
             return checkpoint_name(conv2d(warped, ret_k, ret_b, 1, 0), "trajgru_h2h")
 
+        # per-channel keep masks for zoneout, drawn for all steps upfront so
+        # the scan body stays pure
+        zo_masks = None
+        if self.zoneout > 0.0:
+            rng = self.make_rng("zoneout")
+            zo_masks = jax.random.bernoulli(
+                rng, self.zoneout, (seq_len, b, 1, 1, f))
+
+        def _apply_zoneout(prev_h, next_h, mask):
+            if mask is None:
+                return next_h
+            return jnp.where(mask, prev_h, next_h)
+
         def step_with_input(prev_h, x):
-            i2h_step, i2f_step = x
+            i2h_step, i2f_step, mask = x
             h2h = flow_h2h(prev_h, i2f_step)
             hr, hu, hm = jnp.split(h2h, 3, axis=-1)
             ir, iu, im = jnp.split(i2h_step, 3, axis=-1)
@@ -116,15 +134,17 @@ class TrajGRU(VPModelBlock):
             update = jax.nn.sigmoid(iu + hu)
             new_mem = act(im + reset * hm)
             next_h = update * prev_h + (1.0 - update) * new_mem
+            next_h = _apply_zoneout(prev_h, next_h, mask)
             return next_h, next_h
 
-        def step_decode(prev_h, _):
+        def step_decode(prev_h, mask):
             h2h = flow_h2h(prev_h, None)
             hr, hu, hm = jnp.split(h2h, 3, axis=-1)
             reset = jax.nn.sigmoid(hr)
             update = jax.nn.sigmoid(hu)
             new_mem = act(reset * hm)
             next_h = update * prev_h + (1.0 - update) * new_mem
+            next_h = _apply_zoneout(prev_h, next_h, mask)
             return next_h, next_h
 
         if self.remat:
@@ -132,7 +152,9 @@ class TrajGRU(VPModelBlock):
             step_with_input = jax.checkpoint(step_with_input, policy=policy)
             step_decode = jax.checkpoint(step_decode, policy=policy)
         if xs is not None:
-            next_h, outputs = lax.scan(step_with_input, states, xs)
+            next_h, outputs = lax.scan(step_with_input, states, (*xs, zo_masks))
         else:
-            next_h, outputs = lax.scan(step_decode, states, None, length=seq_len)
+            next_h, outputs = lax.scan(step_decode, states, zo_masks,
+                                       length=None if zo_masks is not None
+                                       else seq_len)
         return jnp.moveaxis(outputs, 0, 1), next_h
