@@ -4,14 +4,13 @@ Capability parity with ``vp_suite/datasets/kitti_raw.py:13-113``: PNG directory
 tree per drive & camera, two-level seeded split (trainval/test then train/val),
 non-overlapping window indexing.
 """
-import random
 from pathlib import Path
 
 import numpy as np
 
 from vp_suite_tpu.base.base_dataset import VPDataset, VPData
 from vp_suite_tpu.defaults import SETTINGS
-from vp_suite_tpu.utils.utils import set_from_kwarg
+from vp_suite_tpu.utils.utils import set_from_kwarg, seeded_shuffle_split
 
 
 class KITTIRawDataset(VPDataset):
@@ -35,58 +34,56 @@ class KITTIRawDataset(VPDataset):
         super().__init__(split, **dataset_kwargs)
         self.NON_CONFIG_VARS.extend(["sequences", "sequences_with_frame_index",
                                      "AVAILABLE_CAMERAS"])
+        for attr in ("camera", "trainval_to_test_ratio", "train_to_val_ratio",
+                     "trainval_test_seed", "train_val_seed"):
+            set_from_kwarg(self, dataset_kwargs, attr)
 
-        set_from_kwarg(self, dataset_kwargs, "camera")
-        set_from_kwarg(self, dataset_kwargs, "trainval_to_test_ratio")
-        set_from_kwarg(self, dataset_kwargs, "train_to_val_ratio")
-        set_from_kwarg(self, dataset_kwargs, "trainval_test_seed")
-        set_from_kwarg(self, dataset_kwargs, "train_val_seed")
+        # directory layout: <data_dir>/<recording day>/<drive>/<camera>/data/*.png
+        drive_dirs = [drive
+                      for day in Path(self.data_dir).iterdir() if day.is_dir()
+                      for drive in day.iterdir() if drive.is_dir()]
+        if len(drive_dirs) < 3:
+            raise ValueError(f"Dataset {self.NAME}: need at least 3 drive "
+                             f"sequences to form train/val/test splits, "
+                             f"found {len(drive_dirs)}")
 
-        dd = Path(self.data_dir)
-        sequence_dirs = [sub for d in dd.iterdir() for sub in d.iterdir()
-                         if dd.is_dir() and sub.is_dir()]
-        if len(sequence_dirs) < 3:
-            raise ValueError(f"Dataset {self.NAME}: found less than 3 sequences "
-                             f"-> can't split dataset -> can't use it")
-
-        slice_idx = max(1, int(len(sequence_dirs) * self.trainval_to_test_ratio))
-        random.Random(self.trainval_test_seed).shuffle(sequence_dirs)
+        # two-level seeded split (membership convention of the reference)
+        trainval, test = seeded_shuffle_split(
+            drive_dirs, self.trainval_to_test_ratio, self.trainval_test_seed,
+            at_least_one=True)
         if self.split == "test":
-            sequence_dirs = sequence_dirs[slice_idx:]
+            chosen = test
         else:
-            sequence_dirs = sequence_dirs[:slice_idx]
-            slice_idx = max(1, int(len(sequence_dirs) * self.train_to_val_ratio))
-            random.Random(self.train_val_seed).shuffle(sequence_dirs)
-            if self.split == "train":
-                sequence_dirs = sequence_dirs[:slice_idx]
-            else:
-                sequence_dirs = sequence_dirs[slice_idx:]
+            train, val = seeded_shuffle_split(
+                trainval, self.train_to_val_ratio, self.train_val_seed,
+                at_least_one=True)
+            chosen = train if self.split == "train" else val
 
-        self.sequences = []
-        for sequence_dir in sorted(sequence_dirs):
-            sequence_len = len(list(sequence_dir.rglob(f"{self.camera}/data/*.png")))
-            self.sequences.append((sequence_dir, sequence_len))
-
+        self.sequences = [
+            (drive, len(list(drive.rglob(f"{self.camera}/data/*.png"))))
+            for drive in sorted(chosen)]
         self.sequences_with_frame_index = []
 
     def _set_seq_len(self):
-        for sequence_path, frame_count in self.sequences:
-            valid_start_idx = range(0, frame_count - self.seq_len + 1,
-                                    self.seq_len + self.seq_step - 1)
-            for idx in valid_start_idx:
-                self.sequences_with_frame_index.append((sequence_path, idx))
+        # non-overlapping windows: consecutive starts are one full window apart
+        stride = self.seq_len + self.seq_step - 1
+        self.sequences_with_frame_index = [
+            (drive, start)
+            for drive, n_frames in self.sequences
+            for start in range(0, n_frames - self.seq_len + 1, stride)]
 
     def __getitem__(self, i) -> VPData:
         import cv2
-        sequence_path, start_idx = self.sequences_with_frame_index[i]
-        all_img_paths = sorted(sequence_path.rglob(f"{self.camera}/data/*.png"))
-        seq_img_paths = all_img_paths[start_idx:start_idx + self.seq_len:self.seq_step]
-        seq_imgs = [cv2.cvtColor(cv2.imread(str(fp.resolve())), cv2.COLOR_BGR2RGB)
-                    for fp in seq_img_paths]
-        vid = self.preprocess(np.stack(seq_imgs, axis=0))
+        drive, start = self.sequences_with_frame_index[i]
+        frame_paths = sorted(drive.rglob(f"{self.camera}/data/*.png"))
+        window = frame_paths[start:start + self.seq_len:self.seq_step]
+        frames = np.stack(
+            [cv2.cvtColor(cv2.imread(str(fp.resolve())), cv2.COLOR_BGR2RGB)
+             for fp in window], axis=0)
+        vid = self.preprocess(frames)
         actions = np.zeros((self.total_frames, 1), dtype=np.float32)
         return {"frames": vid, "actions": actions,
-                "origin": f"{sequence_path}, start frame: {start_idx}"}
+                "origin": f"{drive}, start frame: {start}"}
 
     def __len__(self):
         return len(self.sequences_with_frame_index)
@@ -97,7 +94,8 @@ class KITTIRawDataset(VPDataset):
         d_path.mkdir(parents=True, exist_ok=True)
         try:
             _ = next(d_path.rglob("**/*.png"))
-            print(f"Found image data in {str(d_path.resolve())} -> Won't download {cls.NAME}")
+            print(f"Found image data in {str(d_path.resolve())} -> "
+                  f"Won't download {cls.NAME}")
         except StopIteration:
             from vp_suite_tpu.utils.utils import run_shell_command
             prep_script = (SETTINGS.PKG_RESOURCES / "get_dataset_kitti_raw.sh").resolve()

@@ -204,6 +204,25 @@ def check_optuna_config(optuna_cfg: dict):
                 raise ValueError(f"hyperopt config entry '{param}': min > max")
 
 
+def seeded_shuffle_split(items, ratio, seed, at_least_one=False):
+    r"""Deterministically shuffles a copy of ``items`` and cuts it in two.
+
+    The cut point is ``int(len * ratio)`` (optionally floored at 1), applied
+    AFTER a ``random.Random(seed)`` shuffle — the split-membership convention
+    shared by the path-globbing datasets (reference: ``kitti_raw.py:52-63``,
+    ``physics101.py:45-50``).
+
+    Returns: (first_part, second_part).
+    """
+    import random
+    pool = list(items)
+    random.Random(seed).shuffle(pool)
+    cut = int(len(pool) * ratio)
+    if at_least_one:
+        cut = max(1, cut)
+    return pool[:cut], pool[cut:]
+
+
 def save_json(obj, fp):
     fp = Path(fp)
     fp.parent.mkdir(parents=True, exist_ok=True)
