@@ -5,14 +5,13 @@ globbed per camera, seeded trainval/test shuffle-split, start/middle/end
 subsequence extraction.
 """
 import os
-import random
 from pathlib import Path
 
 import numpy as np
 
 from vp_suite_tpu.base.base_dataset import VPDataset, VPData
 from vp_suite_tpu.defaults import SETTINGS
-from vp_suite_tpu.utils.utils import set_from_kwarg, read_video
+from vp_suite_tpu.utils.utils import set_from_kwarg, seeded_shuffle_split, read_video
 
 
 class Physics101Dataset(VPDataset):
@@ -39,15 +38,12 @@ class Physics101Dataset(VPDataset):
         set_from_kwarg(self, dataset_kwargs, "subseq", choices=self.AVAILABLE_SUBSEQ)
         set_from_kwarg(self, dataset_kwargs, "trainval_test_seed")
 
-        self.vid_filepaths = sorted(Path(self.data_dir).rglob(f"**/{self.camera}.mp4"))
-        if not self.vid_filepaths:
+        all_vids = sorted(Path(self.data_dir).rglob(f"**/{self.camera}.mp4"))
+        if not all_vids:
             raise FileNotFoundError(f"no {self.camera}.mp4 files under {self.data_dir}")
-        slice_idx = int(len(self.vid_filepaths) * self.trainval_to_test_ratio)
-        random.Random(self.trainval_test_seed).shuffle(self.vid_filepaths)
-        if self.split == "train":
-            self.vid_filepaths = self.vid_filepaths[:slice_idx]
-        else:
-            self.vid_filepaths = self.vid_filepaths[slice_idx:]
+        trainval, test = seeded_shuffle_split(all_vids, self.trainval_to_test_ratio,
+                                              self.trainval_test_seed)
+        self.vid_filepaths = trainval if self.split == "train" else test
 
     def __getitem__(self, i) -> VPData:
         vid_fp = self.vid_filepaths[i]
