@@ -89,3 +89,38 @@ def test_preprocess_postprocess_roundtrip():
     post = ds.postprocess(pre)
     assert post.dtype == np.uint8
     assert np.abs(post.astype(int) - raw.astype(int)).max() <= 1
+
+
+def test_preprocess_dtype_matrix():
+    r"""Dtype contract parity (reference ``base_dataset.py:236-242``):
+    uint8 /255, uint16 /65535, float64 /255, float32 rejected."""
+    from vp_suite_tpu.datasets import MovingMNISTOnTheFly
+    ds = MovingMNISTOnTheFly("test", **MMF_KWARGS)
+    ds.set_seq_len(1, 1, 1)
+    base = np.full((1, 32, 32, 3), 51, dtype=np.float64)
+
+    out8 = ds.preprocess(base.astype(np.uint8), transform=False)
+    assert out8.dtype == np.float32 and np.allclose(out8, 51 / 255.0)
+
+    out16 = ds.preprocess((base * 257).astype(np.uint16), transform=False)
+    assert np.allclose(out16, 51 * 257 / 65535.0)
+
+    out64 = ds.preprocess(base, transform=False)
+    assert out64.dtype == np.float32 and np.allclose(out64, 51 / 255.0, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        ds.preprocess(base.astype(np.float32), transform=False)
+    with pytest.raises(ValueError):
+        ds.preprocess(base.astype(np.int32), transform=False)
+
+
+def test_add_borders_colorizes_grayscale():
+    r"""c=1 sequences must get green context / red prediction borders
+    (reference ``visualization.py:17-79`` colorizes before bordering)."""
+    from vp_suite_tpu.utils.visualization import add_borders, COLORS
+    seq = np.zeros((4, 8, 8, 1), dtype=np.uint8)
+    out = add_borders(seq, context_frames=2, border=2)
+    assert out.shape == (4, 12, 12, 3)
+    assert tuple(out[0, 0, 0]) == COLORS["green"]
+    assert tuple(out[3, 0, 0]) == COLORS["red"]
+    assert (out[0, 2:-2, 2:-2] == 0).all()

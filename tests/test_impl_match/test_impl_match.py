@@ -23,7 +23,15 @@ IMPL_MODULES = sorted(m.name for m in pkgutil.iter_modules([str(_THIS_DIR)])
                       if m.name.startswith("_"))
 
 
-@pytest.mark.parametrize("module_name", IMPL_MODULES)
+# modules whose round trip is too heavy for the fast tier (full I3D at
+# 224x224 takes minutes on CPU) — run under --runslow like the integration
+# workflows
+SLOW_MODULES = {"_i3d_convert"}
+
+
+@pytest.mark.parametrize("module_name",
+                         [pytest.param(m, marks=pytest.mark.slow)
+                          if m in SLOW_MODULES else m for m in IMPL_MODULES])
 def test_impl_match(module_name):
     try:
         import torch  # noqa: F401

@@ -136,3 +136,95 @@ def test_warp_bwd_kernels_match_einsum_bwd_interpret():
         pl.pallas_call = orig
     for r, q in zip(ref, got):
         assert np.abs(np.asarray(r) - np.asarray(q)).max() < 1e-4
+
+
+def _interpret_pallas():
+    r"""Context: force interpret mode on pl.pallas_call."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        orig = pl.pallas_call
+
+        def patched(*args, **kw):
+            kw["interpret"] = True
+            return orig(*args, **kw)
+
+        pl.pallas_call = patched
+        try:
+            yield
+        finally:
+            pl.pallas_call = orig
+    return ctx()
+
+
+def _fused_inputs(seed=5):
+    rng = np.random.default_rng(seed)
+    b, L, h, w, c = 2, 3, 16, 16, 8
+    iy = jnp.asarray((rng.random((b, L, h * w)) * (h + 4) - 2).astype(np.float32))
+    ix = jnp.asarray((rng.random((b, L, h * w)) * (w + 4) - 2).astype(np.float32))
+    img = jnp.asarray(rng.random((b, h, w, c)).astype(np.float32))
+    return iy, ix, img
+
+
+def test_fused_warp_fwd_matches_fallback_interpret():
+    r"""The fused (factors-in-VMEM) forward kernel must match the
+    onehot+einsum fallback, including out-of-range samples (zero padding)."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    from vp_suite_tpu.ops.grid_sample import _onehot_factor
+    iy, ix, img = _fused_inputs()
+    A = _onehot_factor(iy, img.shape[1], img.dtype)
+    Bm = _onehot_factor(ix, img.shape[2], img.dtype)
+    ref = pw._warp_contract_einsum(A, Bm, img)
+    with _interpret_pallas():
+        got = pw._warp_sample_pallas(iy, ix, img)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
+
+
+def test_fused_warp_bwd_matches_autodiff_interpret():
+    r"""The single fused backward kernel must produce d_iy/d_ix/d_img equal
+    to autodiff through the factor construction + einsum contraction."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    from vp_suite_tpu.ops.grid_sample import _onehot_factor
+    iy, ix, img = _fused_inputs(seed=6)
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.random((*iy.shape, img.shape[-1])).astype(np.float32))
+
+    def f(iy_, ix_, img_):
+        A = _onehot_factor(iy_, img_.shape[1], img_.dtype)
+        Bm = _onehot_factor(ix_, img_.shape[2], img_.dtype)
+        return pw._warp_contract_einsum(A, Bm, img_)
+
+    _, vjp = jax.vjp(f, iy, ix, img)
+    ref = vjp(g)
+    orig_elig = pw._fused_eligible
+    pw._fused_eligible = lambda *a: True
+    try:
+        with _interpret_pallas():
+            got = pw._warp_sample_bwd((iy, ix, img), g)
+    finally:
+        pw._fused_eligible = orig_elig
+    for r, q in zip(ref, got):
+        assert np.abs(np.asarray(r) - np.asarray(q)).max() < 1e-4
+
+
+def test_warp_sample_fallback_matches_gather():
+    r"""warp_sample's fallback path must equal the gather-form grid_sample
+    composition on non-eligible shapes (CPU backend)."""
+    from vp_suite_tpu.ops.grid_sample import warp_flow_multi, warp_flow
+    rng = np.random.default_rng(8)
+    b, h, w, c, L = 2, 9, 11, 4, 3
+    img = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    flows = jnp.asarray((rng.standard_normal((b, h, w, 2 * L)) * 3).astype(np.float32))
+    out = warp_flow_multi(img, flows)
+    ref = jnp.concatenate([warp_flow(img, flows[..., 2 * l:2 * l + 2])
+                           for l in range(L)], -1)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-4
+
+    f1 = lambda im, fl: jnp.sum(warp_flow_multi(im, fl) ** 2)
+    f2 = lambda im, fl: jnp.sum(jnp.concatenate(
+        [warp_flow(im, fl[..., 2 * l:2 * l + 2]) for l in range(L)], -1) ** 2)
+    g1 = jax.grad(f1, argnums=(0, 1))(img, flows)
+    g2 = jax.grad(f2, argnums=(0, 1))(img, flows)
+    for a, bb in zip(g1, g2):
+        assert np.abs(np.asarray(a) - np.asarray(bb)).max() < 1e-4

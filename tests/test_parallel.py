@@ -108,5 +108,55 @@ def test_process_shard():
     ds = FakeDS()
     shards = [shard_dataset_for_process(ds, shard_id=s, num_shards=3) for s in range(3)]
     seen = sorted(x for sh in shards for x in (sh[i] for i in range(len(sh))))
-    assert seen == list(range(10))  # exact partition, no overlap, no loss
-    assert abs(len(shards[0]) - len(shards[2])) <= 1  # balanced
+    # uniform length keeps processes in lockstep (floor division drops the
+    # remainder: 10 -> 3 shards of 3, item 9 dropped)
+    assert len(set(len(sh) for sh in shards)) == 1
+    assert len(seen) == len(set(seen)) == 9  # no overlap
+    assert set(seen) <= set(range(10))
+
+
+@pytest.mark.slow
+def test_multihost_two_process_train(tmp_path):
+    r"""Real ``jax.distributed`` run: 2 spawned processes (1 CPU device each)
+    train through the facade's multi-host path; parameters must end up
+    identical on both processes (implicit psum gradient sync) and only
+    process 0 writes checkpoints."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    worker = Path(__file__).parent / "helpers" / "multihost_worker.py"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in __import__("os").environ.items()
+           if not k.startswith(("XLA_", "JAX_"))}
+    repo_root = Path(__file__).parent.parent
+    env["PYTHONPATH"] = f"{repo_root}:{repo_root / 'tests'}"
+    procs = [subprocess.Popen([sys.executable, str(worker), str(pid), str(port),
+                               str(tmp_path)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    results = [json.loads((tmp_path / f"result_{i}.json").read_text())
+               for i in range(2)]
+    assert results[0]["process_count"] == results[1]["process_count"] == 2
+    assert results[0]["steps"] == results[1]["steps"] > 0
+    assert abs(results[0]["checksum"] - results[1]["checksum"]) < 1e-5
+    # checkpoints written once, by process 0 only
+    assert (tmp_path / "run" / "best_model").exists()

@@ -149,3 +149,52 @@ def test_kth_fixture_end_to_end(tmp_path):
                        steps_per_epoch=2, no_vis=True, no_wandb=True,
                        out_dir=str(tmp_path / "run"))
     assert np.isfinite(best)
+
+
+def test_test_logger_sink(tmp_path, monkeypatch):
+    r"""The test-run metric sink must write JSONL always and route per-model
+    metrics + videos to wandb when importable (reference
+    ``vpsuite.py:588-611`` parity)."""
+    import json
+    import sys
+    import types
+    from vp_suite_tpu.vpsuite import _TestLogger
+
+    calls = {"init": [], "log": [], "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw)
+    fake.log = lambda d: calls["log"].append(d)
+    fake.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    fake.Video = lambda fp, fps=4, format=None: ("video", fp)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    (tmp_path / "vis_0_model.gif").write_bytes(b"GIF89a")
+    logger = _TestLogger(tmp_path, "brief", no_wandb=False, no_vis=False)
+    metrics = [{"mse": 1.0, "psnr": 20.0}, {"mse": 2.0, "psnr": 18.0}]
+    logger.log_model("ConvLSTM", "/some/dir", metrics)
+    logger.log_model("CopyLastFrame", None, [{"mse": 3.0, "psnr": 15.0}])
+    logger.finish()
+
+    lines = [json.loads(x) for x in (tmp_path / "test_metrics.jsonl").read_text().splitlines()]
+    assert len(lines) == 3
+    assert lines[0] == {"model": "ConvLSTM", "model_dir": "/some/dir",
+                        "test_mode": "brief", "pred_frames": 1,
+                        "mse": 1.0, "psnr": 20.0}
+    assert [kw["name"] for kw in calls["init"]] == \
+        ["ConvLSTM (brief test)", "CopyLastFrame (brief test)"]
+    assert calls["init"][0]["reinit"] is False and calls["init"][1]["reinit"] is True
+    # 2 horizons + 1 video dict for the first model; 1 horizon for the
+    # baseline (model_dir None -> no video log, reference parity)
+    video_logs = [d for d in calls["log"] if any(isinstance(v, tuple) for v in d.values())]
+    assert len(video_logs) == 1
+    assert calls["finish"] == 1
+
+
+def test_test_logger_no_wandb(tmp_path, monkeypatch):
+    import sys
+    from vp_suite_tpu.vpsuite import _TestLogger
+    monkeypatch.setitem(sys.modules, "wandb", None)  # import fails
+    logger = _TestLogger(tmp_path, "full", no_wandb=True)
+    logger.log_model("M", None, [{"mse": 1.0}])
+    logger.finish()
+    assert (tmp_path / "test_metrics.jsonl").exists()

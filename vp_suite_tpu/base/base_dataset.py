@@ -194,10 +194,13 @@ class VPDataset:
             x = x.astype(np.float32) / ((1 << 16) - 1)
         elif x.dtype == np.uint8:
             x = x.astype(np.float32) / ((1 << 8) - 1)
-        elif x.dtype in (np.float32, np.float64):
+        elif x.dtype == np.float64:
+            # parity: the reference divides only np.float (float64) inputs by 255
+            # and rejects float32 (base_dataset.py:236-242); mirroring that here
+            # avoids silently re-scaling already-normalized float32 frames.
             x = x.astype(np.float32) / ((1 << 8) - 1)
         else:
-            raise ValueError(f"only dtypes np.uint8, np.uint16 and float are supported "
+            raise ValueError(f"only dtypes np.uint8, np.uint16 and np.float64 are supported "
                              f"(given: {x.dtype})")
 
         if x.ndim < 2:

@@ -142,7 +142,7 @@ class MovingMNISTOnTheFly(VPDataset):
             templates, self.seq_len, self.img_shape[1], self.num_channels,
             self.num_digits, self.min_speed, self.max_speed,
             seed=(split_seed << 20) ^ (i + 1))
-        frames = self.preprocess(seq * 255.0)
+        frames = self.preprocess(seq.astype(np.float64) * 255.0)
         actions = np.zeros((self.total_frames, 1), dtype=np.float32)
         return {"frames": frames, "actions": actions,
                 "origin": "generated on-the-fly (native)"}

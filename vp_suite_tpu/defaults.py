@@ -90,6 +90,7 @@ class DefaultRunConfig:
     compute_dtype: str = "float32"  #: "bfloat16" activates mixed-precision compute.
     data_axis: str = "data"         #: Name of the data-parallel mesh axis.
     num_devices: int = 0            #: 0 = use all local devices for data parallelism.
+    multihost: bool = False         #: Initialize jax.distributed and shard data per process (one process per host).
     prefetch_batches: int = 2       #: Host->device pipeline depth.
     steps_per_epoch: int = 0        #: 0 = full pass over the training set.
     val_batch_size: int = 0         #: 0 = use batch_size (reference used 1; set 1 to reproduce exactly).

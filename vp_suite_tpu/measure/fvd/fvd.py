@@ -62,8 +62,6 @@ def wasserstein2_numpy(pred, target):
     c_t = e_t * np.sqrt(fact)
     m = (c_p.T @ c_t) @ (c_t.T @ c_p)
     s = np.linalg.eigvals(m) + 1e-15
-    sq_tr_cov = np.sqrt(s).real.__abs__().sum() if np.iscomplexobj(s) \
-        else np.abs(np.sqrt(s)).sum()
     # match reference: S.sqrt().abs().sum() over complex eigenvalues
     sq_tr_cov = np.abs(np.sqrt(s.astype(np.complex128))).sum()
     trace_term = np.trace(cov_p + cov_t) - 2.0 * sq_tr_cov

@@ -118,14 +118,13 @@ def warp_flow_multi(img, flows):
     ix = (xx + f[..., 0]) * (w / max(w - 1, 1)) - 0.5
     iy = (yy + f[..., 1]) * (h / max(h - 1, 1)) - 0.5
 
-    A = _onehot_factor(iy.reshape(b, L, h * w), h, img.dtype)   # [b,L,p,h]
-    Bm = _onehot_factor(ix.reshape(b, L, h * w), w, img.dtype)  # [b,L,p,w]
-
-    # the contraction runs as a Pallas kernel on TPU (VMEM-resident
-    # intermediate) with an einsum fallback elsewhere; both accumulate f32
-    # and share a hand-written matmul-form VJP (see ops/pallas_warp.py)
-    from vp_suite_tpu.ops.pallas_warp import warp_contract
-    outs = warp_contract(A, Bm, img).reshape(b, L, h, w, c)
+    # fused path: the Pallas kernel builds the one-hot factor tiles in VMEM
+    # directly from the fractional indices (no [b,L,P,h]-sized factor arrays
+    # in HBM, forward or backward); einsum fallback elsewhere. Both
+    # accumulate f32 (see ops/pallas_warp.py).
+    from vp_suite_tpu.ops.pallas_warp import warp_sample
+    outs = warp_sample(iy.reshape(b, L, h * w), ix.reshape(b, L, h * w),
+                       img).reshape(b, L, h, w, c)
     return jnp.moveaxis(outs, 1, 3).reshape(b, h, w, L * c)
 
 

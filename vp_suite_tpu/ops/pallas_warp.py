@@ -25,12 +25,217 @@ Reference behavior being accelerated: ``vp_suite/model_blocks/traj_gru.py:
 149-164`` (L grid_sample warps).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
 _PT = 128  # output-pixel tile (lane dim)
+
+
+# --------------------------------------------------------------------- #
+# Fused warp: factors built in VMEM from fractional indices.
+#
+# The first-generation kernels below consume pre-built one-hot factor
+# matrices A/Bm of shape [b, L, P, h] — 436 MB of HBM round trips per step
+# at EF-TrajGRU's first layer, plus an equally large d_A/d_Bm pair and an
+# XLA-side one-hot-construction VJP in the backward. The fused kernels
+# instead take the raw fractional sample indices iy/ix ([b, L, P] f32,
+# 6.8 MB) and build the factor tiles on the VPU inside the kernel; the
+# hand-written backward emits d_iy/d_ix ([b, L, P]) directly, so no
+# [b, L, P, h]-sized array ever exists.
+
+def _factor_tile(i_frac, n, dtype):
+    r"""[PT] fractional indices -> [n, PT] weighted one-hot factor tile
+    (same math as ``grid_sample._onehot_factor``, transposed)."""
+    i0 = jnp.floor(i_frac)
+    w1 = i_frac - i0
+    w0 = 1.0 - w1
+    i1 = i0 + 1.0
+    v0 = (i0 >= 0) & (i0 <= n - 1)
+    v1 = (i1 >= 0) & (i1 <= n - 1)
+    # tpu.iota is integer-only; compare in f32 after a cast
+    iota = lax.broadcasted_iota(jnp.int32, (n, i_frac.shape[-1]), 0) \
+        .astype(jnp.float32)
+    fac = (w0 * v0)[None, :] * (iota == i0[None, :]) \
+        + (w1 * v1)[None, :] * (iota == i1[None, :])
+    return fac.astype(dtype)
+
+
+def _make_fused_fwd_kernel(H, W):
+    r"""One (batch, flow, pixel-tile) program, factors built in VMEM.
+
+    idx_ref: [1, 1, 2, PT] f32 — row 0 = iy, row 1 = ix (the (iy, ix) pair
+        rides the sublane dim so the tile satisfies Mosaic's (8, 128)-or-
+        full-dim block rule; sublane reads use static indices)
+    img_ref: [1, C, H*W] image (flattened spatial on lanes)
+    out_ref: [1, 1, C, PT]
+    """
+    def kernel(idx_ref, img_ref, out_ref):
+        a = _factor_tile(idx_ref[0, 0, 0, :], H, img_ref.dtype)
+        bm = _factor_tile(idx_ref[0, 0, 1, :], W, img_ref.dtype)
+        m = (a[:, None, :] * bm[None, :, :]).reshape(H * W, a.shape[-1])
+        out_ref[0, 0] = jnp.dot(img_ref[0], m,
+                                preferred_element_type=jnp.float32
+                                ).astype(out_ref.dtype)
+    return kernel
+
+
+def _make_fused_bwd_kernel(H, W):
+    r"""Single fused backward program computing all three gradients:
+
+        d_img[(y,x), c] += M[(y,x), p] g[c, p]          (one MXU dot)
+        t[(y,x), p]      = img[c, (y,x)] g[c, p]        (one MXU dot)
+        d_a[y, p]  = sum_x bm[x, p] t[(y,x), p]
+        d_iy[p]    = sum_y d_a[y, p] (v1·[y==i1] - v0·[y==i0])
+        (d_ix symmetrically from a and t)
+
+    d_img accumulates across the (flow, tile) grid dims; d_iy/d_ix are
+    per-(flow, tile) outputs of shape [1, 1, PT].
+    """
+    def kernel(idx_ref, img_ref, g_ref, dimg_ref, didx_ref):
+        iy = idx_ref[0, 0, 0, :]
+        ix = idx_ref[0, 0, 1, :]
+        a = _factor_tile(iy, H, img_ref.dtype)             # [H, PT]
+        bm = _factor_tile(ix, W, img_ref.dtype)            # [W, PT]
+        g = g_ref[0, 0]                                    # [C, PT]
+        m = (a[:, None, :] * bm[None, :, :]).reshape(H * W, a.shape[-1])
+
+        contrib = lax.dot_general(m, g, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+        @pl.when(first)
+        def _init():
+            dimg_ref[0] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _acc():
+            dimg_ref[0] += contrib
+
+        # t[(y,x), p] = sum_c img[c, (y,x)] * g[c, p]
+        t = lax.dot_general(img_ref[0], g, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        t = t.reshape(H, W, -1)
+        a32 = a.astype(jnp.float32)
+        bm32 = bm.astype(jnp.float32)
+        d_a = jnp.sum(t * bm32[None, :, :], axis=1)        # [H, PT]
+        d_bm = jnp.sum(t * a32[:, None, :], axis=0)        # [W, PT]
+
+        def d_frac(d_fac, i_frac, n):
+            i0 = jnp.floor(i_frac)
+            i1 = i0 + 1.0
+            v0 = ((i0 >= 0) & (i0 <= n - 1)).astype(jnp.float32)
+            v1 = ((i1 >= 0) & (i1 <= n - 1)).astype(jnp.float32)
+            iota = lax.broadcasted_iota(jnp.int32, d_fac.shape, 0) \
+                .astype(jnp.float32)
+            sel = (iota == i1[None, :]) * v1[None, :] \
+                - (iota == i0[None, :]) * v0[None, :]
+            return jnp.sum(d_fac * sel, axis=0)            # [PT]
+
+        didx_ref[0, 0, 0, :] = d_frac(d_a, iy, H)
+        didx_ref[0, 0, 1, :] = d_frac(d_bm, ix, W)
+    return kernel
+
+
+def _fused_eligible(iy, img):
+    if jax.default_backend() != "tpu":
+        return False
+    P = iy.shape[-1]
+    h, w = img.shape[1], img.shape[2]
+    return P % _PT == 0 and h * w == P and h <= 256
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def warp_sample(iy, ix, img):
+    r"""Fused multi-flow bilinear warp from fractional sample indices.
+
+    out[b, l, p, c] = sum_{y,x} A(iy)[b,l,p,y] B(ix)[b,l,p,x] img[b,y,x,c]
+
+    with A/B the weighted one-hot bilinear factors (zero outside the image,
+    torch ``grid_sample(padding_mode='zeros')`` parity — reference behavior:
+    ``vp_suite/model_blocks/traj_gru.py:149-164``).
+
+    Args:
+        iy, ix: [b, L, P] f32 fractional indices (P = h*w output pixels).
+        img: [b, h, w, c].
+    Returns: [b, L, P, c].
+    """
+    return _warp_sample_fwd_impl(iy, ix, img)
+
+
+def _warp_sample_fwd_impl(iy, ix, img):
+    if _fused_eligible(iy, img):
+        return _warp_sample_pallas(iy, ix, img)
+    from vp_suite_tpu.ops.grid_sample import _onehot_factor
+    A = _onehot_factor(iy, img.shape[1], img.dtype)
+    Bm = _onehot_factor(ix, img.shape[2], img.dtype)
+    return _warp_contract_einsum(A, Bm, img)
+
+
+def _warp_sample_pallas(iy, ix, img):
+    b, L, P = iy.shape
+    _, h, w, c = img.shape
+    idx = jnp.stack([iy, ix], axis=2)                      # [b, L, 2, P]
+    img2 = img.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    out = pl.pallas_call(
+        _make_fused_fwd_kernel(h, w),
+        grid=(b, L, P // _PT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, c, h * w), lambda bi, li, pi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        out_shape=jax.ShapeDtypeStruct((b, L, c, P), img.dtype),
+    )(idx, img2)
+    return out.transpose(0, 1, 3, 2)
+
+
+def _warp_sample_fwd(iy, ix, img):
+    return _warp_sample_fwd_impl(iy, ix, img), (iy, ix, img)
+
+
+def _warp_sample_bwd(res, g):
+    iy, ix, img = res
+    if _fused_eligible(iy, img):
+        b, L, P = iy.shape
+        _, h, w, c = img.shape
+        idx = jnp.stack([iy, ix], axis=2)                  # [b, L, 2, P]
+        img2 = img.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+        g_t = g.transpose(0, 1, 3, 2)                      # [b, L, c, P]
+        d_img, d_idx = pl.pallas_call(
+            _make_fused_bwd_kernel(h, w),
+            grid=(b, L, P // _PT),
+            in_specs=[
+                pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+                pl.BlockSpec((1, c, h * w), lambda bi, li, pi: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h * w, c), lambda bi, li, pi: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h * w, c), jnp.float32),
+                jax.ShapeDtypeStruct((b, L, 2, P), jnp.float32),
+            ],
+        )(idx, img2, g_t)
+        return (d_idx[:, :, 0], d_idx[:, :, 1],
+                d_img.reshape(b, h, w, c).astype(img.dtype))
+
+    # fallback: autodiff through the factor construction + einsum VJP
+    def f(iy_, ix_, img_):
+        from vp_suite_tpu.ops.grid_sample import _onehot_factor
+        A = _onehot_factor(iy_, img_.shape[1], img_.dtype)
+        Bm = _onehot_factor(ix_, img_.shape[2], img_.dtype)
+        return warp_contract(A, Bm, img_)
+    _, vjp = jax.vjp(f, iy, ix, img)
+    return vjp(g)
+
+
+warp_sample.defvjp(_warp_sample_fwd, _warp_sample_bwd)
 
 
 def _warp_kernel(a_ref, bm_ref, img_ref, out_ref):

@@ -46,8 +46,10 @@ class ProcessShard:
         self.num_shards = jax.process_count() if num_shards is None else num_shards
 
     def __len__(self):
-        n = len(self.dataset)
-        return (n - self.shard_id + self.num_shards - 1) // self.num_shards
+        # floor division keeps every process's shard the same length, so all
+        # processes take the same number of steps per epoch (collectives in
+        # the train step would deadlock otherwise); drops < num_shards items
+        return len(self.dataset) // self.num_shards
 
     def __getitem__(self, i):
         return self.dataset[i * self.num_shards + self.shard_id]

@@ -94,10 +94,16 @@ def device_prefetch(iterator, sharding=None, depth=2):
     """
     import jax
     queue = collections.deque()
+    multiprocess = jax.process_count() > 1
 
     def put(batch):
         arrs = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        if sharding is not None:
+        if sharding is not None and multiprocess:
+            # each process contributes its local shard of the global batch;
+            # the resulting jax.Array spans all hosts' devices
+            placed = {k: jax.make_array_from_process_local_data(sharding, v)
+                      for k, v in arrs.items()}
+        elif sharding is not None:
             placed = {k: jax.device_put(v, sharding) for k, v in arrs.items()}
         else:
             placed = {k: jax.device_put(v) for k, v in arrs.items()}

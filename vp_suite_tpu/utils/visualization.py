@@ -18,13 +18,18 @@ COLORS = {"green": (40, 180, 40), "red": (210, 40, 40), "yellow": (210, 210, 40)
 
 def add_borders(trajs, context_frames: int, border: int = 2):
     r"""Adds green borders to context frames and red to predicted frames
-    (parity: ``visualization.py:17-79``)."""
+    (parity: ``visualization.py:17-79``). Grayscale sequences are expanded
+    to RGB first so the colored borders stay distinguishable, like the
+    reference's colorization path."""
     trajs = np.asarray(trajs)
     t, h, w, c = trajs.shape
+    if c < 3:
+        trajs = np.repeat(trajs[..., :1], 3, axis=-1)
+        c = 3
     out = np.zeros((t, h + 2 * border, w + 2 * border, c), dtype=np.uint8)
     for i in range(t):
         color = COLORS["green"] if i < context_frames else COLORS["red"]
-        out[i, :, :] = np.asarray(color, dtype=np.uint8)[:c] if c >= 3 else 255
+        out[i, :, :] = np.asarray(color, dtype=np.uint8)[:c]
         out[i, border:-border, border:-border] = trajs[i]
     return out
 

@@ -14,6 +14,7 @@ ReduceLROnPlateau writing into an ``optax.inject_hyperparams`` state, and
 msgpack checkpoints of (params, opt state, step, schedule state).
 """
 import json
+import os
 import random
 import time
 import warnings
@@ -242,6 +243,23 @@ class VPSuite:
         model = entry.model
         train_data, val_data = dataset.train_data, dataset.val_data
 
+        # multi-host: init the distributed runtime and give this process its
+        # shard of the data (SURVEY.md §5.8; the reference is single-device)
+        if run_config["multihost"]:
+            from vp_suite_tpu.parallel.distributed import initialize_multihost
+            initialize_multihost()
+        if jax.process_count() > 1:
+            from vp_suite_tpu.parallel.distributed import (
+                shard_dataset_for_process, local_batch_size)
+            train_data = shard_dataset_for_process(train_data)
+            val_data = shard_dataset_for_process(val_data)
+            local_bs = local_batch_size(run_config["batch_size"])
+            print(f"multi-host training: process {jax.process_index()} of "
+                  f"{jax.process_count()}, local batch {local_bs}")
+        else:
+            local_bs = run_config["batch_size"]
+        is_main = jax.process_index() == 0
+
         # hyperopt parameter suggestions
         optuna_config = run_config.get("optuna", None)
         using_hyperopt = trial is not None and isinstance(optuna_config, dict)
@@ -280,16 +298,28 @@ class VPSuite:
                   "model_name": model.NAME, "dataset_name": dataset.NAME}
         save_config = {"run": run_config, "model": model.config,
                        "dataset": dataset.config, "device": self.device}
-        with open(out_path / "run_cfg.json", "w") as cfg_file:
-            json.dump(save_config, cfg_file, indent=4, default=str)
+        if is_main:
+            with open(out_path / "run_cfg.json", "w") as cfg_file:
+                json.dump(save_config, cfg_file, indent=4, default=str)
 
-        # external logging (wandb optional; JSONL metrics always)
+        # external logging (wandb optional; JSONL metrics always); non-main
+        # processes stay silent
         logger = _RunLogger(out_path, config, run_config["no_wandb"],
-                            project="vp-suite-training")
+                            project="vp-suite-training") if is_main \
+            else _NullLogger()
 
         # mesh / sharding
         batch_size = run_config["batch_size"]
         n_requested = run_config["num_devices"]
+        if jax.process_count() > 1:
+            # multi-host: the mesh must span every process's devices
+            if n_requested:
+                raise ValueError("num_devices cannot be set in multi-host mode "
+                                 "(the mesh spans all hosts' devices)")
+            n_requested = len(self._devices())
+            if batch_size % n_requested != 0:
+                raise ValueError(f"global batch_size {batch_size} not divisible "
+                                 f"by {n_requested} global devices")
         if n_requested and batch_size % n_requested != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"{n_requested} devices")
@@ -331,10 +361,10 @@ class VPSuite:
         # uint8 host->device transfer (4x less tunnel/PCIe traffic) is exact
         # up to 1/510 for [0,1]-range data; dequantized on device
         uint8_ok = [float(v) for v in dataset.config["tensor_value_range"]] == [0.0, 1.0]
-        train_loader = BatchLoader(train_data, batch_size, shuffle=True,
+        train_loader = BatchLoader(train_data, local_bs, shuffle=True,
                                    seed=run_config["seed"], drop_last=True,
                                    uint8_frames=uint8_ok)
-        val_bs = run_config.get("val_batch_size", 0) or batch_size
+        val_bs = run_config.get("val_batch_size", 0) or local_bs
         val_bs = max(1, min(val_bs, len(val_data)))
         val_loader = BatchLoader(val_data, batch_size=val_bs, shuffle=False,
                                  drop_last=True, uint8_frames=uint8_ok)
@@ -391,9 +421,17 @@ class VPSuite:
             val_losses = {}
             if with_validation:
                 agg = []
-                for batch in val_loader:
-                    device_batch = {k: jax.device_put(v) for k, v in batch.items()
-                                    if isinstance(v, np.ndarray)}
+                # route val batches through the same sharding as training: in
+                # multi-host runs every jit input must be a global array. A
+                # val batch that doesn't divide the mesh falls back to
+                # single-device placement (single-host only).
+                val_sharding = data_sharding if val_bs % n_dev == 0 else None
+                if val_sharding is None and jax.process_count() > 1:
+                    raise ValueError(f"val batch {val_bs} must divide the "
+                                     f"{n_dev}-device mesh in multi-host mode")
+                from vp_suite_tpu.training.data import device_prefetch as _prefetch
+                for device_batch in _prefetch(val_loader, sharding=val_sharding,
+                                              depth=1):
                     agg.append(eval_step(state, device_batch))
                 if not agg:
                     raise RuntimeError("validation set is empty")
@@ -409,18 +447,21 @@ class VPSuite:
                 if loss_improved(indicator_loss, best_val_loss):
                     best_val_loss = indicator_loss
                     entry.state = state
-                    save_checkpoint(out_path / "best_model", state, entry.model_id,
-                                    model.config, run_config)
+                    if is_main:
+                        save_checkpoint(out_path / "best_model", state,
+                                        entry.model_id, model.config, run_config)
                     print(f"Minimum indicator loss ({config['val_rec_criterion']}) "
                           f"reduced -> model saved!")
             else:
                 print("Skipping validation loop and simply saving current model "
                       "as the 'best' model.")
                 entry.state = state
-                save_checkpoint(out_path / "best_model", state, entry.model_id,
-                                model.config, run_config)
+                if is_main:
+                    save_checkpoint(out_path / "best_model", state, entry.model_id,
+                                    model.config, run_config)
 
-            if (epoch + 1) % config["vis_every"] == 0 and not config["no_vis"]:
+            if (epoch + 1) % config["vis_every"] == 0 and not config["no_vis"] \
+                    and is_main:
                 print("Saving visualizations...")
                 from vp_suite_tpu.utils.visualization import visualize_vid
                 vis_out_dir = out_path / f"vis_ep_{epoch + 1:03d}"
@@ -436,8 +477,9 @@ class VPSuite:
 
         print("\nTraining done, cleaning up...")
         entry.state = state
-        save_checkpoint(out_path / "final_model", state, entry.model_id, model.config,
-                        run_config)
+        if is_main:
+            save_checkpoint(out_path / "final_model", state, entry.model_id,
+                            model.config, run_config)
         logger.finish()
         return best_val_loss
 
@@ -578,6 +620,8 @@ class VPSuite:
         # aggregate + log metrics per model / per prediction horizon
         results = {}
         if eval_length > 0:
+            logger = _TestLogger(vis_out_dir, test_mode, no_wandb=config["no_wandb"],
+                                 no_vis=config["no_vis"])
             for (entry, _, _, metrics_list) in model_info_list:
                 dp_range = range(len(metrics_list))
                 frame_range = range(len(metrics_list[0]))
@@ -588,11 +632,8 @@ class VPSuite:
                     for f in frame_range
                 ]
                 results[entry.NAME] = mean_metric_dicts
-                print(f"\n{entry.NAME} (path: {entry.model_dir}): ")
-                for f, mmd in enumerate(mean_metric_dicts):
-                    print(f"pred_frames: {f + 1}")
-                    for k, v in mmd.items():
-                        print(f" -> {k}: {v}")
+                logger.log_model(entry.NAME, entry.model_dir, mean_metric_dicts)
+            logger.finish()
             with open(vis_out_dir / "test_metrics.json", "w") as f:
                 json.dump(results, f, indent=2)
         return results
@@ -634,6 +675,77 @@ class _RunLogger:
     def finish(self):
         if self.wandb is not None:
             self.wandb.finish()
+
+
+class _NullLogger:
+    r"""Silent sink for non-main processes in multi-host runs."""
+
+    def log_epoch(self, epoch, val_losses):
+        pass
+
+    def finish(self):
+        pass
+
+
+class _TestLogger:
+    r"""Test-run metric sink (parity: ``vpsuite.py:588-611`` — per-tested-model
+    wandb runs in project 'vp-suite-testing' incl. prediction videos, plus
+    always-on JSONL + console)."""
+
+    PROJECT = "vp-suite-testing"
+
+    def __init__(self, vis_out_dir, test_mode, no_wandb=False, no_vis=False):
+        self.vis_out_dir = Path(vis_out_dir)
+        self.jsonl_fp = self.vis_out_dir / "test_metrics.jsonl"
+        self.test_mode = test_mode
+        self.no_vis = no_vis
+        self.wandb = None
+        self._n_logged = 0
+        if not no_wandb:
+            try:
+                import wandb
+                self.wandb = wandb
+            except Exception:
+                self.wandb = None
+
+    def log_model(self, model_name, model_dir, mean_metric_dicts):
+        with open(self.jsonl_fp, "a") as f:
+            for fi, mmd in enumerate(mean_metric_dicts):
+                f.write(json.dumps({"model": model_name, "model_dir": str(model_dir),
+                                    "test_mode": self.test_mode,
+                                    "pred_frames": fi + 1, **mmd}) + "\n")
+        print(f"\n{model_name} (path: {model_dir}): ")
+        for fi, mmd in enumerate(mean_metric_dicts):
+            print(f"pred_frames: {fi + 1}")
+            for k, v in mmd.items():
+                print(f" -> {k}: {v}")
+        if self.wandb is not None:
+            try:
+                self.wandb.init(
+                    config={"test_mode": self.test_mode, "model_dir": str(model_dir)},
+                    project=self.PROJECT,
+                    name=f"{model_name} ({self.test_mode} test)",
+                    dir=str(SETTINGS.RUN_PATH), reinit=(self._n_logged > 0))
+                for fi, mmd in enumerate(mean_metric_dicts):
+                    self.wandb.log({"pred_frames": fi + 1, **mmd})
+                if not self.no_vis and model_dir is not None:
+                    vid_fns = [fn for fn in sorted(os.listdir(str(self.vis_out_dir)))
+                               if fn.split(".")[-1] in ("mp4", "gif")]
+                    if vid_fns:
+                        self.wandb.log({fn: self.wandb.Video(
+                            str(self.vis_out_dir / fn), fps=4,
+                            format=fn.split(".")[-1]) for fn in vid_fns})
+            except Exception as e:
+                print(f"wandb test logging failed ({e}); continuing with JSONL only")
+                self.wandb = None
+        self._n_logged += 1
+
+    def finish(self):
+        if self.wandb is not None:
+            try:
+                self.wandb.finish()
+            except Exception:
+                pass
 
 
 class _Trial:
