@@ -144,3 +144,22 @@ def test_trajgru_zoneout():
                      zoneout=1.0)
     out1, _ = frozen.apply(v, x, None, 4, rngs={"zoneout": jax.random.PRNGKey(1)})
     assert float(jnp.abs(out1).max()) == 0.0
+
+
+def test_api_docs_generate(tmp_path, monkeypatch):
+    r"""The offline API-doc generator must produce a page per module and an
+    index (sphinx substitute; reference docs/assemble_docs.sh parity)."""
+    import importlib.util
+    from pathlib import Path
+    path = Path(__file__).resolve().parents[1] / "docs" / "build_api_docs.py"
+    spec = importlib.util.spec_from_file_location("vpt_build_api_docs", path)
+    bad = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bad)
+    monkeypatch.setattr(bad, "API_DIR", tmp_path)
+    bad.main()
+    pages = sorted(p.name for p in tmp_path.glob("*.md"))
+    assert "index.md" in pages
+    assert "vp_suite_tpu_vpsuite.md" in pages
+    body = (tmp_path / "vp_suite_tpu_ops_grid_sample.md").read_text()
+    assert "warp_flow_multi" in body and "import failed" not in body
+    assert len(pages) > 40

@@ -100,14 +100,17 @@ class TrajGRU(VPModelBlock):
 
         def flow_h2h(prev_h, i2f_step):
             r"""Generates L flows and returns the 1x1-conv'd warped hidden."""
+            from jax.ad_checkpoint import checkpoint_name
             f_conv1 = conv2d(prev_h, h2f_k, h2f_b, 1, (2, 2))
             if i2f_step is not None:
                 f_conv1 = f_conv1 + i2f_step
             flows = conv2d(act(f_conv1), fl_k, fl_b, 1, (2, 2))  # [b, sh, sw, 2L]
+            # saving the (small) flow fields lets the backward skip the
+            # flow-generator convs before re-running the warp VJP
+            flows = checkpoint_name(flows, "trajgru_flows")
             # all L warps in one matmul-form pass (no TPU gathers); equals
             # concat of per-flow warp_flow(prev_h, -flow_l) blocks
             warped = warp_flow_multi(prev_h, -flows)             # [b, sh, sw, L*f]
-            from jax.ad_checkpoint import checkpoint_name
             # named for selective remat: saving h2h lets the backward skip
             # recomputing the flow generator + L warps + ret conv
             return checkpoint_name(conv2d(warped, ret_k, ret_b, 1, 0), "trajgru_h2h")
@@ -148,7 +151,8 @@ class TrajGRU(VPModelBlock):
             return next_h, next_h
 
         if self.remat:
-            policy = jax.checkpoint_policies.save_only_these_names("trajgru_h2h")
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "trajgru_h2h", "trajgru_flows")
             step_with_input = jax.checkpoint(step_with_input, policy=policy)
             step_decode = jax.checkpoint(step_decode, policy=policy)
         if xs is not None:

@@ -83,27 +83,15 @@ def _make_fused_fwd_kernel(H, W):
     return kernel
 
 
-def _make_fused_bwd_kernel(H, W):
-    r"""Single fused backward program computing all three gradients:
-
-        d_img[(y,x), c] += M[(y,x), p] g[c, p]          (one MXU dot)
-        t[(y,x), p]      = img[c, (y,x)] g[c, p]        (one MXU dot)
-        d_a[y, p]  = sum_x bm[x, p] t[(y,x), p]
-        d_iy[p]    = sum_y d_a[y, p] (v1·[y==i1] - v0·[y==i0])
-        (d_ix symmetrically from a and t)
-
-    d_img accumulates across the (flow, tile) grid dims; d_iy/d_ix are
-    per-(flow, tile) outputs of shape [1, 1, PT].
-    """
-    def kernel(idx_ref, img_ref, g_ref, dimg_ref, didx_ref):
-        iy = idx_ref[0, 0, 0, :]
-        ix = idx_ref[0, 0, 1, :]
-        a = _factor_tile(iy, H, img_ref.dtype)             # [H, PT]
-        bm = _factor_tile(ix, W, img_ref.dtype)            # [W, PT]
-        g = g_ref[0, 0]                                    # [C, PT]
+def _make_fused_dimg_kernel(H, W):
+    r"""d_img[(y,x), c] += M(idx)[(y,x), p] g[c, p], accumulated over the
+    (flow, tile) grid dims (out block constant there); the sampling matrix M
+    is rebuilt in VMEM from the fractional indices."""
+    def kernel(idx_ref, g_ref, dimg_ref):
+        a = _factor_tile(idx_ref[0, 0, 0, :], H, g_ref.dtype)
+        bm = _factor_tile(idx_ref[0, 0, 1, :], W, g_ref.dtype)
         m = (a[:, None, :] * bm[None, :, :]).reshape(H * W, a.shape[-1])
-
-        contrib = lax.dot_general(m, g, (((1,), (1,)), ((), ())),
+        contrib = lax.dot_general(m, g_ref[0, 0], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
@@ -114,15 +102,30 @@ def _make_fused_bwd_kernel(H, W):
         @pl.when(jnp.logical_not(first))
         def _acc():
             dimg_ref[0] += contrib
+    return kernel
 
+
+def _make_fused_didx_kernel(H, W):
+    r"""Index gradients from the shared intermediate t = img^T @ g:
+
+        d_a[y, p]  = sum_x bm[x, p] t[(y,x), p]
+        d_iy[p]    = sum_y d_a[y, p] (v1·[y==i1] - v0·[y==i0])
+        (d_ix symmetrically via a)
+
+    Folds the one-hot-construction VJP into the kernel, so the output is the
+    tiny [PT] index gradient instead of [H, PT]/[W, PT] factor gradients.
+    """
+    def kernel(idx_ref, img_ref, g_ref, didx_ref):
+        iy = idx_ref[0, 0, 0, :]
+        ix = idx_ref[0, 0, 1, :]
+        a = _factor_tile(iy, H, jnp.float32)
+        bm = _factor_tile(ix, W, jnp.float32)
         # t[(y,x), p] = sum_c img[c, (y,x)] * g[c, p]
-        t = lax.dot_general(img_ref[0], g, (((0,), (0,)), ((), ())),
+        t = lax.dot_general(img_ref[0], g_ref[0, 0], (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
         t = t.reshape(H, W, -1)
-        a32 = a.astype(jnp.float32)
-        bm32 = bm.astype(jnp.float32)
-        d_a = jnp.sum(t * bm32[None, :, :], axis=1)        # [H, PT]
-        d_bm = jnp.sum(t * a32[:, None, :], axis=0)        # [W, PT]
+        d_a = jnp.sum(t * bm[None, :, :], axis=1)          # [H, PT]
+        d_bm = jnp.sum(t * a[:, None, :], axis=0)          # [W, PT]
 
         def d_frac(d_fac, i_frac, n):
             i0 = jnp.floor(i_frac)
@@ -205,22 +208,27 @@ def _warp_sample_bwd(res, g):
         idx = jnp.stack([iy, ix], axis=2)                  # [b, L, 2, P]
         img2 = img.transpose(0, 3, 1, 2).reshape(b, c, h * w)
         g_t = g.transpose(0, 1, 3, 2)                      # [b, L, c, P]
-        d_img, d_idx = pl.pallas_call(
-            _make_fused_bwd_kernel(h, w),
+        d_img = pl.pallas_call(
+            _make_fused_dimg_kernel(h, w),
+            grid=(b, L, P // _PT),
+            in_specs=[
+                pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+                pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            ],
+            out_specs=pl.BlockSpec((1, h * w, c), lambda bi, li, pi: (bi, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.float32),
+        )(idx, g_t)
+        d_idx = pl.pallas_call(
+            _make_fused_didx_kernel(h, w),
             grid=(b, L, P // _PT),
             in_specs=[
                 pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
                 pl.BlockSpec((1, c, h * w), lambda bi, li, pi: (bi, 0, 0)),
                 pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, h * w, c), lambda bi, li, pi: (bi, 0, 0)),
-                pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, h * w, c), jnp.float32),
-                jax.ShapeDtypeStruct((b, L, 2, P), jnp.float32),
-            ],
+            out_specs=pl.BlockSpec((1, 1, 2, _PT),
+                                   lambda bi, li, pi: (bi, li, 0, pi)),
+            out_shape=jax.ShapeDtypeStruct((b, L, 2, P), jnp.float32),
         )(idx, img2, g_t)
         return (d_idx[:, :, 0], d_idx[:, :, 1],
                 d_img.reshape(b, h, w, c).astype(img.dtype))
