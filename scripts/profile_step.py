@@ -54,23 +54,52 @@ def capture(model_id, img, ctx, pred, batch, steps, out_dir):
     jax.profiler.stop_trace()
 
 
-def summarize(out_dir, top):
-    xplanes = glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True)
-    if not xplanes:
-        print("no xplane captured (device tracing unsupported on this backend?)")
+def summarize(out_dir, top, steps=1, strip_ids=True):
+    r"""Parses the Chrome trace (device events) directly: the installed
+    tensorboard_plugin_profile converter is broken (protobuf mismatch), but
+    the capture also writes ``*.trace.json.gz`` with the XLA-op timeline.
+    Computes per-op SELF time with an interval stack (nested call ops like
+    while/checkpoint otherwise absorb their children)."""
+    import collections
+    import gzip
+    import re
+    traces = glob.glob(f"{out_dir}/**/*.trace.json.gz", recursive=True)
+    if not traces:
+        print("no trace captured (device tracing unsupported on this backend?)")
         return
-    xplane = max(xplanes, key=lambda p: Path(p).stat().st_size)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
-    data, _ = rttd.xspace_to_tool_data([xplane], "framework_op_stats", {})
-    try:
-        table = json.loads(data)
-    except Exception:
-        # gviz csv fallback
-        print(data[:4000])
-        return
-    rows = table
-    print(f"top {top} ops by total self time:")
-    print(rows if isinstance(rows, str) else json.dumps(rows)[:6000])
+    with gzip.open(sorted(traces)[-1]) as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    tpu_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e["args"].get("name", "")}
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["args"].get("name") == "XLA Ops" and e["pid"] in tpu_pids}
+    evs = sorted((e for e in events if e.get("ph") == "X"
+                  and (e.get("pid"), e.get("tid")) in op_tids),
+                 key=lambda e: (e["ts"], -e.get("dur", 0)))
+    self_us = collections.Counter()
+    cnt = collections.Counter()
+    stack = []
+
+    def base(n):
+        return re.sub(r"\.\d+(\.clone)?$", "", n) if strip_ids else n
+
+    for e in evs:
+        ts, dur = e["ts"], e.get("dur", 0)
+        while stack and ts >= stack[-1][1]:
+            stack.pop()
+        if stack:
+            self_us[stack[-1][2]] -= dur
+        name = base(e["name"])
+        self_us[name] += dur
+        cnt[name] += 1
+        stack.append((ts, ts + dur, name))
+    total = sum(self_us.values())
+    print(f"total device self time: {total / 1000 / steps:.1f} ms/step")
+    for name, us in self_us.most_common(top):
+        print(f"{us / 1000 / steps:9.2f} ms/step  x{cnt[name] // steps:5d}  {name[:90]}")
 
 
 def main():
@@ -82,10 +111,13 @@ def main():
     parser.add_argument("--top", type=int, default=25)
     parser.add_argument("--out", default="/tmp/vpt_profile")
     parser.add_argument("--summarize-only", action="store_true")
+    parser.add_argument("--full-names", action="store_true",
+                        help="keep per-op HLO ids instead of grouping")
     args = parser.parse_args()
     if not args.summarize_only:
         capture(args.model, args.img, 5, 10, args.batch, args.steps, args.out)
-    summarize(args.out, args.top)
+    summarize(args.out, args.top, steps=args.steps,
+              strip_ids=not args.full_names)
 
 
 if __name__ == "__main__":

@@ -175,9 +175,9 @@ def test_fused_warp_fwd_matches_fallback_interpret():
     iy, ix, img = _fused_inputs()
     A = _onehot_factor(iy, img.shape[1], img.dtype)
     Bm = _onehot_factor(ix, img.shape[2], img.dtype)
-    ref = pw._warp_contract_einsum(A, Bm, img)
+    ref = pw._warp_contract_einsum(A, Bm, img).transpose(0, 1, 3, 2)
     with _interpret_pallas():
-        got = pw._warp_sample_pallas(iy, ix, img)
+        got = pw._warp_sample_pallas(iy, ix, img)  # [b, L, c, P]
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
 
 
@@ -188,12 +188,13 @@ def test_fused_warp_bwd_matches_autodiff_interpret():
     from vp_suite_tpu.ops.grid_sample import _onehot_factor
     iy, ix, img = _fused_inputs(seed=6)
     rng = np.random.default_rng(7)
-    g = jnp.asarray(rng.random((*iy.shape, img.shape[-1])).astype(np.float32))
+    b, L, P = iy.shape
+    g = jnp.asarray(rng.random((b, L, img.shape[-1], P)).astype(np.float32))
 
     def f(iy_, ix_, img_):
         A = _onehot_factor(iy_, img_.shape[1], img_.dtype)
         Bm = _onehot_factor(ix_, img_.shape[2], img_.dtype)
-        return pw._warp_contract_einsum(A, Bm, img_)
+        return pw._warp_contract_einsum(A, Bm, img_).transpose(0, 1, 3, 2)
 
     _, vjp = jax.vjp(f, iy, ix, img)
     ref = vjp(g)

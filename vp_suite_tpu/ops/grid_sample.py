@@ -121,11 +121,11 @@ def warp_flow_multi(img, flows):
     # fused path: the Pallas kernel builds the one-hot factor tiles in VMEM
     # directly from the fractional indices (no [b,L,P,h]-sized factor arrays
     # in HBM, forward or backward); einsum fallback elsewhere. Both
-    # accumulate f32 (see ops/pallas_warp.py).
+    # accumulate f32 (see ops/pallas_warp.py). The kernel emits channel-major
+    # [b, L, c, P]; ONE transpose reaches the [b, h, w, L*c] consumer layout.
     from vp_suite_tpu.ops.pallas_warp import warp_sample
-    outs = warp_sample(iy.reshape(b, L, h * w), ix.reshape(b, L, h * w),
-                       img).reshape(b, L, h, w, c)
-    return jnp.moveaxis(outs, 1, 3).reshape(b, h, w, L * c)
+    outs = warp_sample(iy.reshape(b, L, h * w), ix.reshape(b, L, h * w), img)
+    return outs.transpose(0, 3, 1, 2).reshape(b, h, w, L * c)
 
 
 def warp_flow(img, flow):
