@@ -49,17 +49,23 @@ class ConvLSTMShi(VPModelBlock):
     #: conv recompute (trades ~HBM for ~half the remat FLOPs).
     scan_unroll: int = 1  #: lax.scan unroll factor — lets XLA fuse across steps
     #: at the cost of a bigger compiled program.
+    time_major: bool = False  #: inputs/outputs are [t, b, ...] — skips the two
+    #: per-layer [b,t]<->[t,b] transposes around the scan (the EF stack runs
+    #: time-major end to end; profiled ~13% of the flagship step was these
+    #: copies).
 
     @nn.compact
     def __call__(self, inputs, states, seq_len: int):
         r"""Runs the cell over a sequence.
 
         Args:
-            inputs: [b, t, h, w, in_c] or None (decode mode: zero inputs).
+            inputs: [b, t, h, w, in_c] ([t, b, ...] when ``time_major``) or
+                None (decode mode: zero inputs).
             states: (h, c) each [b, state_h, state_w, enc] or None (zero init).
             seq_len: number of steps (must equal t when inputs given).
 
-        Returns: (outputs [b, t, state_h, state_w, enc], (h, c)).
+        Returns: (outputs [b, t, state_h, state_w, enc] ([t, b, ...] when
+        ``time_major``), (h, c)).
         """
         enc = self.enc_channels
         kernel, bias = make_conv_params(self, "conv", self.in_channels + enc, 4 * enc,
@@ -74,7 +80,7 @@ class ConvLSTMShi(VPModelBlock):
         if states is None:
             if inputs is None:
                 raise ValueError("ConvLSTMShi received None for both inputs and states")
-            b = inputs.shape[0]
+            b = inputs.shape[1] if self.time_major else inputs.shape[0]
             h0 = jnp.zeros((b, self.state_h, self.state_w, enc), dtype=inputs.dtype)
             c0 = jnp.zeros_like(h0)
         else:
@@ -91,8 +97,12 @@ class ConvLSTMShi(VPModelBlock):
             bt = inputs.shape[0] * inputs.shape[1]
             x_flat = inputs.reshape(bt, *inputs.shape[2:])
             i2h = conv2d(x_flat, x_kernel, bias, self.stride, self.padding)
-            i2h = i2h.reshape(b, seq_len, self.state_h, self.state_w, 4 * enc)
-            i2h_t = jnp.moveaxis(i2h, 1, 0)  # [t, b, sh, sw, 4enc]
+            if self.time_major:
+                # [t, b, ...] flattening is scan-order already: no transpose
+                i2h_t = i2h.reshape(seq_len, b, self.state_h, self.state_w, 4 * enc)
+            else:
+                i2h = i2h.reshape(b, seq_len, self.state_h, self.state_w, 4 * enc)
+                i2h_t = jnp.moveaxis(i2h, 1, 0)  # [t, b, sh, sw, 4enc]
         else:
             i2h_t = jnp.broadcast_to(
                 bias.astype(h0.dtype),
@@ -125,5 +135,6 @@ class ConvLSTMShi(VPModelBlock):
                 step = jax.checkpoint(step)
         (h_last, c_last), outputs = lax.scan(step, (h0, c0), i2h_t,
                                              unroll=self.scan_unroll)
-        outputs = jnp.moveaxis(outputs, 0, 1)  # [b, t, sh, sw, enc]
+        if not self.time_major:
+            outputs = jnp.moveaxis(outputs, 0, 1)  # [b, t, sh, sw, enc]
         return outputs, (h_last, c_last)

@@ -64,11 +64,13 @@ class TrajGRU(VPModelBlock):
     h2h_dilate: Tuple[int, int] = (1, 1)
     act_slope: float = 0.2  #: LeakyReLU negative slope (reference Activation('leaky')).
     remat: bool = True      #: rematerialize the scan body in backward (HBM saver).
+    time_major: bool = False  #: inputs/outputs are [t, b, ...] (see ConvLSTMShi).
 
     @nn.compact
     def __call__(self, inputs, states, seq_len: int):
-        r"""inputs: [b, t, h, w, in_c] or None; states: [b, sh, sw, enc] or None.
-        Returns (outputs [b, t, sh, sw, enc], next_h)."""
+        r"""inputs: [b, t, h, w, in_c] ([t, b, ...] when ``time_major``) or
+        None; states: [b, sh, sw, enc] or None.
+        Returns (outputs [b, t, sh, sw, enc] or time-major, next_h)."""
         f = self.enc_channels
         sh, sw = conv_rnn_state_size(self.state_h, self.state_w, self.i2h_kernel,
                                      self.i2h_stride, self.i2h_pad)
@@ -81,7 +83,7 @@ class TrajGRU(VPModelBlock):
         if inputs is None and states is None:
             raise ValueError("TrajGRU received 'None' both in input and state")
         if states is None:
-            b = inputs.shape[0]
+            b = inputs.shape[1] if self.time_major else inputs.shape[0]
             states = jnp.zeros((b, sh, sw, f), dtype=inputs.dtype)
         b = states.shape[0]
 
@@ -91,10 +93,14 @@ class TrajGRU(VPModelBlock):
             bt = inputs.shape[0] * inputs.shape[1]
             x_flat = inputs.reshape(bt, *inputs.shape[2:])
             i2h = conv2d(x_flat, i2h_k, i2h_b, self.i2h_stride, self.i2h_pad)
-            i2h = i2h.reshape(b, seq_len, sh, sw, 3 * f)
             i2f = conv2d(x_flat, i2f_k, i2f_b, 1, (2, 2))
-            i2f = i2f.reshape(b, seq_len, *i2f.shape[1:])
-            xs = (jnp.moveaxis(i2h, 1, 0), jnp.moveaxis(i2f, 1, 0))
+            if self.time_major:
+                xs = (i2h.reshape(seq_len, b, sh, sw, 3 * f),
+                      i2f.reshape(seq_len, b, *i2f.shape[1:]))
+            else:
+                i2h = i2h.reshape(b, seq_len, sh, sw, 3 * f)
+                i2f = i2f.reshape(b, seq_len, *i2f.shape[1:])
+                xs = (jnp.moveaxis(i2h, 1, 0), jnp.moveaxis(i2f, 1, 0))
         else:
             xs = None
 
@@ -165,4 +171,6 @@ class TrajGRU(VPModelBlock):
             next_h, outputs = lax.scan(step_decode, states, zo_masks,
                                        length=None if zo_masks is not None
                                        else seq_len)
-        return jnp.moveaxis(outputs, 0, 1), next_h
+        if not self.time_major:
+            outputs = jnp.moveaxis(outputs, 0, 1)
+        return outputs, next_h

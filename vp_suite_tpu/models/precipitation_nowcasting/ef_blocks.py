@@ -15,6 +15,7 @@ from typing import Tuple
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from vp_suite_tpu.base.base_model import VPModel
 from vp_suite_tpu.nn.layers import Conv2d, ConvTranspose2d, max_pool_2d
@@ -127,10 +128,13 @@ class EncoderForecasterBase(VPModel):
 
     def encode(self, x):
         r"""Encoder: per stage, batched conv subnet then recurrent block
-        (parity: ``ef_blocks.py:67-82``). Returns per-stage final states."""
+        (parity: ``ef_blocks.py:67-82``). ``x`` is time-major [t, b, ...];
+        the whole stack stays time-major so the per-layer scans consume and
+        produce their natural layout with zero transposes. Returns per-stage
+        final states."""
         hidden_states = []
         cur = x
-        t = cur.shape[1]
+        t = cur.shape[0]
         for stage, rnn in zip(self.enc_stages, self.enc_rnns_list):
             cur = apply_stage_batched(stage, cur)
             cur, state = rnn(cur, None, t)
@@ -139,7 +143,8 @@ class EncoderForecasterBase(VPModel):
 
     def forecast(self, hidden_states, pred_frames: int):
         r"""Forecaster: reversed stages, rnn seeded with encoder state, zero
-        input on the deepest stage (parity: ``ef_blocks.py:100-114``)."""
+        input on the deepest stage (parity: ``ef_blocks.py:100-114``).
+        Time-major throughout, like :meth:`encode`."""
         n = self.num_layers
         cur, _ = self.dec_rnns_list[0](None, hidden_states[-1], pred_frames)
         cur = apply_stage_batched(self.dec_stages[0], cur)
@@ -149,6 +154,8 @@ class EncoderForecasterBase(VPModel):
         return cur
 
     def __call__(self, x, pred_frames: int = 1, actions=None, train: bool = False, **kwargs):
-        states = self.encode(x)
+        # one [b,t]<->[t,b] transpose at each end of the model; everything
+        # in between runs time-major
+        states = self.encode(jnp.moveaxis(x, 0, 1))
         preds = self.forecast(states, pred_frames)
-        return preds, None
+        return jnp.moveaxis(preds, 0, 1), None

@@ -73,7 +73,7 @@ class EF_ConvLSTM(EncoderForecasterBase):
                 kernel_size=self.enc_rnn_k[n], stride=self.enc_rnn_s[n],
                 padding=self.enc_rnn_p[n], use_pallas=self.use_pallas,
                 remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
-                name=f"enc_rnn{n+1}"))
+                time_major=True, name=f"enc_rnn{n+1}"))
             layer_in_c = layer_out_c
 
         dec_convs, dec_rnns = [], []
@@ -86,7 +86,7 @@ class EF_ConvLSTM(EncoderForecasterBase):
                 kernel_size=self.dec_rnn_k[n], stride=self.dec_rnn_s[n],
                 padding=self.dec_rnn_p[n], use_pallas=self.use_pallas,
                 remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
-                name=f"dec_rnn{n+1}"))
+                time_major=True, name=f"dec_rnn{n+1}"))
             dec_conv_dict = {
                 self.dec_conv_names[n]: (layer_mid_c, layer_out_c, self.dec_conv_k[n],
                                          self.dec_conv_s[n], self.dec_conv_p[n])
