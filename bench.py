@@ -18,6 +18,39 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
+BENCH_ALL_SIDECAR = Path(__file__).parent / "BENCH_ALL.jsonl"
+
+# dense bf16 peak FLOP/s per chip, keyed by substrings of device_kind.
+# Used for the ``mfu`` field: executed-FLOP utilization (XLA cost analysis of
+# the compiled step, which counts rematerialized FLOPs — i.e. hardware FLOP
+# utilization, a slight over-count of "model FLOPs" when remat=True).
+_PEAK_FLOPS = [
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v6", 918e12), ("v4", 275e12),
+]
+
+
+def _peak_flops(device):
+    if device.platform != "tpu":
+        return None
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_FLOPS:
+        if sub in kind:
+            return peak
+    return 197e12  # default to v5e if the kind string is unrecognised
+
+
+def _cost_flops(lowerable, *args):
+    r"""Executed FLOPs of one call of a jitted fn, via XLA cost analysis.
+    Returns None when the backend doesn't support it."""
+    try:
+        ca = lowerable.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bfloat16",
@@ -86,7 +119,9 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
         sync(mm)
         return time.perf_counter() - t0
 
+    train_flops = None
     if trainable:
+        train_flops = _cost_flops(train_step, state, device_batch, epoch)
         state, m = train_step(state, device_batch, epoch)  # compile
         sync(m)
         t_n = timed_run(steps)
@@ -115,35 +150,48 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     infer_dt = (time.perf_counter() - t0) / steps
     infer_fps = batch * total / infer_dt
 
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (train_flops / train_dt / peak) if (train_flops and train_dt and peak) \
+        else None
     return {"train_fps": train_fps, "infer_fps": infer_fps,
             "train_step_ms": train_dt * 1e3 if train_dt else None,
             "infer_step_ms": infer_dt * 1e3,
+            "train_flops_per_step": train_flops,
+            "mfu": round(mfu, 4) if mfu else None,
             "platform": jax.devices()[0].platform, "compute_dtype": compute_dtype,
             "remat": remat, "use_pallas": use_pallas}
 
 
-def measure_torch_reference(img=64, ctx=5, pred=10, batch=4, steps=3):
-    r"""Measures the PyTorch reference EF-ConvLSTM's training throughput
+def measure_torch_reference(model_id="convlstm-shi", img=64, ctx=5, pred=10,
+                            batch=4, steps=3):
+    r"""Measures a PyTorch reference model's training throughput
     (fwd+loss+bwd+opt) on host CPU. Imports the reference read-only via the
-    test loader stubs."""
+    test loader stubs. Reference registry: vp_suite/models/__init__.py:14-28."""
     sys.path.insert(0, str(Path(__file__).parent / "tests"))
     from helpers.ref_loader import load_reference
     load_reference()
     import torch
-    from vp_suite.models.precipitation_nowcasting.ef_conv_lstm import EF_ConvLSTM
+    from vp_suite.models import MODEL_CLASSES as REF_MODELS
 
     torch.manual_seed(0)
-    model = EF_ConvLSTM("cpu", img_shape=(3, img, img), action_size=0,
-                        tensor_value_range=(0.0, 1.0))
+    cls = REF_MODELS[model_id]
+    extra = {"temporal_dim": min(ctx, 3)} if model_id == "unet-3d" else {}
+    model = cls("cpu", img_shape=(3, img, img), action_size=0,
+                tensor_value_range=(0.0, 1.0), **extra)
     opt = torch.optim.Adam(model.parameters(), lr=1e-4)
     total = ctx + pred
-    x = torch.rand(batch, ctx, 3, img, img)
-    y = torch.rand(batch, pred, 3, img, img)
+    frames = torch.rand(batch, total, 3, img, img)
+    x, y = frames[:, :ctx], frames[:, ctx:]
+    # NEEDS_COMPLETE_INPUT models (PredRNN) consume the full sequence
+    inp = frames if getattr(cls, "NEEDS_COMPLETE_INPUT", False) else x
 
     def one_step():
-        pred_frames, _ = model(x, pred_frames=pred)
+        pred_frames, model_losses = model(inp, pred_frames=pred)
         loss = torch.nn.functional.mse_loss(pred_frames, y, reduction="none") \
             .sum(dim=(-1, -2, -3)).mean()
+        if model_losses:
+            for v in model_losses.values():
+                loss = loss + v.mean()
         opt.zero_grad()
         loss.backward()
         opt.step()
@@ -156,19 +204,31 @@ def measure_torch_reference(img=64, ctx=5, pred=10, batch=4, steps=3):
     return batch * total / dt  # frames/sec
 
 
-def get_torch_baseline(refresh=False, **kwargs):
-    if BASELINE_CACHE.exists() and not refresh:
+def get_torch_baseline(refresh=False, model_id="convlstm-shi", **kwargs):
+    r"""Per-model torch-CPU baseline fps, cached in bench_baseline.json.
+
+    Cache layout: {"models": {model_id: fps|null}, "note": ...}; the legacy
+    single-value key ``torch_cpu_train_fps`` is migrated to
+    models["convlstm-shi"] on first read."""
+    data = {}
+    if BASELINE_CACHE.exists():
         with open(BASELINE_CACHE) as f:
-            return json.load(f)
-    try:
-        fps = measure_torch_reference(**kwargs)
-        data = {"torch_cpu_train_fps": fps, "note": "PyTorch reference EF-ConvLSTM, "
-                "fwd+bwd+opt on host CPU, batch 4 scaled (no GPU in this environment)"}
-    except Exception as e:
-        data = {"torch_cpu_train_fps": None, "note": f"baseline measurement failed: {e}"}
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump(data, f, indent=2)
-    return data
+            data = json.load(f)
+    models = data.setdefault("models", {})
+    if "torch_cpu_train_fps" in data and "convlstm-shi" not in models:
+        models["convlstm-shi"] = data["torch_cpu_train_fps"]
+    if model_id not in models or refresh:
+        try:
+            models[model_id] = measure_torch_reference(model_id=model_id, **kwargs)
+        except Exception as e:
+            models[model_id] = None
+            data.setdefault("errors", {})[model_id] = str(e)
+        data["note"] = ("PyTorch reference models, fwd+bwd+opt on host CPU, "
+                        "batch 4 (no GPU in this environment)")
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(data, f, indent=2)
+    return {"torch_cpu_train_fps": models.get(model_id), "note": data.get("note"),
+            "baseline_model": model_id}
 
 
 # the five BASELINE.json benchmark configs (driver regression tracking):
@@ -181,14 +241,29 @@ ALL_CONFIGS = [
     ("unet-3d", "UNet-3D KTH-shaped 5ctx->10pred train frames/sec/chip"),
     ("predrnn-pp", "PredRNN++ KTH-shaped 5ctx->10pred train frames/sec/chip"),
     ("phy", "PhyDNet BAIR-shaped 5ctx->10pred train frames/sec/chip"),
+    # not a BASELINE.json config, but the repo's hardest kernel target —
+    # regression-tracked alongside them (VERDICT r2 item #2)
+    ("trajgru", "EF-TrajGRU MovingMNIST 5ctx->10pred train frames/sec/chip"),
 ]
 
 
-def run_all(args):
-    r"""Benchmarks every BASELINE.json config; one JSON line each."""
-    baseline = get_torch_baseline(refresh=args.refresh_baseline)
-    base_fps = baseline.get("torch_cpu_train_fps")
+def run_all(args, emit=print):
+    r"""Benchmarks every BASELINE.json config; one JSON line each.
+
+    ``vs_baseline`` compares each model against ITS OWN torch-CPU reference
+    baseline (measured once per model, cached); eval-only configs and models
+    whose torch baseline failed report vs_baseline=0.
+    """
+    lines = []
     for model_id, metric in ALL_CONFIGS:
+        if model_id == "copy":
+            baseline = {"torch_cpu_train_fps": None,
+                        "note": "eval-only baseline model, no torch train baseline",
+                        "baseline_model": model_id}
+        else:
+            baseline = get_torch_baseline(refresh=args.refresh_baseline,
+                                          model_id=model_id)
+        base_fps = baseline.get("torch_cpu_train_fps")
         if args.smoke:
             ours = measure_ours(img=16, ctx=2, pred=2, batch=4, steps=2,
                                 compute_dtype=args.dtype, platform=args.platform,
@@ -199,12 +274,15 @@ def run_all(args):
                                 model_id=model_id)
         value = ours["train_fps"] if ours["train_fps"] else ours["infer_fps"]
         vs_baseline = (value / base_fps) if (base_fps and ours["train_fps"]) else 0.0
-        print(json.dumps({
+        line = {
             "metric": metric, "value": round(value, 2), "unit": "frames/sec",
             "vs_baseline": round(vs_baseline, 2),
-            "baseline": "PyTorch reference on host CPU (no GPU available)",
-            "detail": {**ours, "baseline_fps": base_fps},
-        }), flush=True)
+            "baseline": f"PyTorch reference {model_id} on host CPU (no GPU available)",
+            "detail": {**ours, "baseline_fps": base_fps, "model_id": model_id},
+        }
+        lines.append(line)
+        emit(json.dumps(line), flush=True)
+    return lines
 
 
 def main():
@@ -223,40 +301,67 @@ def main():
                         help="use the fused Pallas gate kernel")
     parser.add_argument("--unroll", type=int, default=1,
                         help="lax.scan unroll factor for ConvLSTM cells")
-    parser.add_argument("--model", default="convlstm-shi",
+    parser.add_argument("--model", default=None,
                         help="model registry id (BASELINE.json configs: "
                              "convlstm-shi on MM, predrnn-pp/unet-3d on KTH shapes, "
-                             "phy on BAIR shapes)")
+                             "phy on BAIR shapes). Default: the full five-config "
+                             "sweep, printed as ONE north-star line with the other "
+                             "configs embedded + a BENCH_ALL.jsonl sidecar")
     args = parser.parse_args()
 
     if args.all:
         run_all(args)
         return
 
+    if args.model is None and not args.smoke and not args.pallas \
+            and args.unroll == 1:
+        # Driver default: benchmark ALL five BASELINE.json configs so every
+        # config is regression-tracked, but print exactly ONE JSON line (the
+        # north-star ConvLSTM config) with the other configs' numbers embedded
+        # in detail.all_configs; the full per-config lines also land in the
+        # BENCH_ALL.jsonl sidecar.
+        lines = run_all(args, emit=lambda *a, **k: None)
+        with open(BENCH_ALL_SIDECAR, "w") as f:
+            for line in lines:
+                f.write(json.dumps(line) + "\n")
+        north = next(l for l in lines
+                     if l["detail"]["model_id"] == "convlstm-shi")
+        others = [{k: l[k] for k in ("metric", "value", "vs_baseline")}
+                  | {"mfu": l["detail"].get("mfu"),
+                     "step_ms": l["detail"].get("train_step_ms")
+                     or l["detail"].get("infer_step_ms")}
+                  for l in lines if l is not north]
+        north = {**north, "detail": {**north["detail"], "all_configs": others}}
+        print(json.dumps(north))
+        return
+
+    model_id = args.model or "convlstm-shi"
     if args.smoke:
         ours = measure_ours(img=16, ctx=2, pred=2, batch=4, steps=3,
                             compute_dtype=args.dtype, platform=args.platform,
                             remat=not args.no_remat, use_pallas=args.pallas,
-                            model_id=args.model, unroll=args.unroll)
+                            model_id=model_id, unroll=args.unroll)
         baseline = {"torch_cpu_train_fps": None, "note": "smoke run, no baseline"}
     else:
         ours = measure_ours(compute_dtype=args.dtype, platform=args.platform,
                             steps=args.steps, remat=not args.no_remat,
-                            use_pallas=args.pallas, model_id=args.model,
+                            use_pallas=args.pallas, model_id=model_id,
                             unroll=args.unroll)
-        baseline = get_torch_baseline(refresh=args.refresh_baseline)
+        baseline = get_torch_baseline(refresh=args.refresh_baseline,
+                                      model_id=model_id)
 
     base_fps = baseline.get("torch_cpu_train_fps")
-    vs_baseline = (ours["train_fps"] / base_fps) if base_fps else 0.0
+    vs_baseline = (ours["train_fps"] / base_fps) \
+        if (base_fps and ours["train_fps"]) else 0.0
     names = {"convlstm-shi": "ConvLSTM-Shi MovingMNIST",
              "predrnn-pp": "PredRNN++ KTH-shaped", "phy": "PhyDNet BAIR-shaped",
              "unet-3d": "UNet-3D KTH-shaped"}
     result = {
-        "metric": f"{names.get(args.model, args.model)} 5ctx->10pred train frames/sec/chip",
+        "metric": f"{names.get(model_id, model_id)} 5ctx->10pred train frames/sec/chip",
         "value": round(ours["train_fps"], 2),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 2),
-        "baseline": "PyTorch reference on host CPU (no GPU available)",
+        "baseline": f"PyTorch reference {model_id} on host CPU (no GPU available)",
         "detail": {**ours, "baseline_fps": base_fps},
     }
     print(json.dumps(result))

@@ -200,8 +200,11 @@ class VPDataset:
             # avoids silently re-scaling already-normalized float32 frames.
             x = x.astype(np.float32) / ((1 << 8) - 1)
         else:
-            raise ValueError(f"only dtypes np.uint8, np.uint16 and np.float64 are supported "
-                             f"(given: {x.dtype})")
+            raise ValueError(
+                f"only dtypes np.uint8, np.uint16 and np.float64 are supported "
+                f"(given: {x.dtype}). Already-normalized float32 frames should "
+                f"be fed as float64 scaled by 255 (x.astype(np.float64) * 255) "
+                f"or quantized to uint8")
 
         if x.ndim < 2:
             raise ValueError("expected at least two dimensions for input image")

@@ -33,6 +33,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 _PT = 256  # output-pixel tile (two 128-lane registers per op; fewer, larger programs)
+_PT_LEGACY = 128  # legacy prebuilt-factor kernels keep the 128 tile so pixel
+# counts divisible by 128 (but not 256) still hit the TPU path
 
 
 # --------------------------------------------------------------------- #
@@ -286,14 +288,14 @@ def _warp_contract_pallas(A, Bm, img):
 
     out = pl.pallas_call(
         _warp_kernel,
-        grid=(b, L, P // _PT),
+        grid=(b, L, P // _PT_LEGACY),
         in_specs=[
-            pl.BlockSpec((1, 1, h, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-            pl.BlockSpec((1, 1, w, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, h, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, w, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
             # constant in (li, pi): fetched once per batch item
             pl.BlockSpec((1, c, h * w), lambda bi, li, pi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        out_specs=pl.BlockSpec((1, 1, c, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
         out_shape=jax.ShapeDtypeStruct((b, L, c, P), img.dtype),
     )(a_t, bm_t, img2)
     return out.transpose(0, 1, 3, 2)   # [b, L, P, c]
@@ -354,11 +356,11 @@ def _warp_bwd_pallas(A, Bm, img, g):
 
     d_img = pl.pallas_call(
         _warp_bwd_dimg_kernel,
-        grid=(b, L, P // _PT),
+        grid=(b, L, P // _PT_LEGACY),
         in_specs=[
-            pl.BlockSpec((1, 1, h, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-            pl.BlockSpec((1, 1, w, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-            pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, h, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, w, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, c, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
         ],
         out_specs=pl.BlockSpec((1, h * w, c), lambda bi, li, pi: (bi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.float32),
@@ -366,16 +368,16 @@ def _warp_bwd_pallas(A, Bm, img, g):
 
     d_a_t, d_bm_t = pl.pallas_call(
         _warp_bwd_dab_kernel,
-        grid=(b, L, P // _PT),
+        grid=(b, L, P // _PT_LEGACY),
         in_specs=[
             pl.BlockSpec((1, h * w, c), lambda bi, li, pi: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-            pl.BlockSpec((1, 1, h, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-            pl.BlockSpec((1, 1, w, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, c, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, h, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, w, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, h, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-            pl.BlockSpec((1, 1, w, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, h, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, w, _PT_LEGACY), lambda bi, li, pi: (bi, li, 0, pi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, L, h, P), A.dtype),
@@ -405,7 +407,7 @@ def _use_pallas(A):
     if jax.default_backend() != "tpu":
         return False
     b, L, P, h = A.shape
-    return P % _PT == 0 and h <= 256
+    return P % _PT_LEGACY == 0 and h <= 256
 
 
 def _dispatch(A, Bm, img):

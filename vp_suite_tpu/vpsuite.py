@@ -425,10 +425,17 @@ class VPSuite:
                 # multi-host runs every jit input must be a global array. A
                 # val batch that doesn't divide the mesh falls back to
                 # single-device placement (single-host only).
-                val_sharding = data_sharding if val_bs % n_dev == 0 else None
+                # in multi-host mode the global val batch is the per-process
+                # val_bs times process_count, so the divisibility check is
+                # against the LOCAL device count (global_bs % n_dev == 0 iff
+                # val_bs % local_device_count == 0 for equal-sized hosts).
+                global_val_bs = val_bs * jax.process_count()
+                val_sharding = data_sharding if global_val_bs % n_dev == 0 else None
                 if val_sharding is None and jax.process_count() > 1:
-                    raise ValueError(f"val batch {val_bs} must divide the "
-                                     f"{n_dev}-device mesh in multi-host mode")
+                    raise ValueError(
+                        f"per-process val batch {val_bs} must divide the "
+                        f"{jax.local_device_count()} local devices in "
+                        f"multi-host mode")
                 from vp_suite_tpu.training.data import device_prefetch as _prefetch
                 for device_batch in _prefetch(val_loader, sharding=val_sharding,
                                               depth=1):
@@ -465,7 +472,6 @@ class VPSuite:
                 print("Saving visualizations...")
                 from vp_suite_tpu.utils.visualization import visualize_vid
                 vis_out_dir = out_path / f"vis_ep_{epoch + 1:03d}"
-                base_val = getattr(val_data, "dataset", val_data)
                 visualize_vid(val_data, config["context_frames"], config["pred_frames"],
                               lambda b: predict_fn(state, b), vis_out_dir,
                               n_vis=config["n_vis"], vis_mode=config["vis_mode"])
