@@ -38,7 +38,9 @@ class MovingMNISTOnTheFly(VPDataset):
     n_seqs = None
     digit_source = "auto"  #: 'auto' | 'mnist' | 'synthetic'
     backend = "numpy"      #: 'numpy' (reference-parity RNG) | 'native' (C core;
-    #: index-seeded xorshift RNG — faster, parallel-safe, different stream)
+    #: index-seeded xorshift RNG — faster, parallel-safe, different stream) |
+    #: 'device' (TPU-resident jitted synthesis: VPSuite.train feeds the chip
+    #: from PRNG keys only; __getitem__ falls back to the numpy path)
 
     def __init__(self, split, **dataset_kwargs):
         super().__init__(split, **dataset_kwargs)
@@ -146,6 +148,32 @@ class MovingMNISTOnTheFly(VPDataset):
         actions = np.zeros((self.total_frames, 1), dtype=np.float32)
         return {"frames": frames, "actions": actions,
                 "origin": "generated on-the-fly (native)"}
+
+    def _digit_templates(self):
+        r"""Digit bank as uint8 [n, ds, ds], downscaled when the frame is
+        smaller than the glyphs (same rule as the native/numpy paths)."""
+        templates = np.asarray(self.data.images, dtype=np.uint8)
+        if templates.shape[-1] >= self.img_shape[1]:
+            import cv2
+            size = max(4, self.img_shape[1] // 2)
+            templates = np.stack([cv2.resize(t, (size, size),
+                                             interpolation=cv2.INTER_AREA)
+                                  for t in templates])
+        return templates
+
+    def device_batch_iterator(self, batch_size, n_steps, seed, sharding=None):
+        r"""Device-resident batch stream (``backend='device'``): uploads the
+        digit bank once and synthesises every batch on-device from PRNG keys
+        (see ``mmnist_device.py``). Yields {'frames', 'actions'} jax arrays."""
+        from vp_suite_tpu.datasets.mmnist_device import DeviceBatchIterator
+        split_seed = self.SPLIT_SEED_OFFSETS[self.split](self.rng_seed)
+        return DeviceBatchIterator(
+            self._digit_templates(), batch_size=batch_size,
+            seq_len=self.seq_len, img_size=self.img_shape[1],
+            num_channels=self.num_channels, num_digits=self.num_digits,
+            min_speed=self.min_speed, max_speed=self.max_speed,
+            value_range=(self.value_range_min, self.value_range_max),
+            n_steps=n_steps, seed=(split_seed << 16) ^ seed, sharding=sharding)
 
     def _sample_digit(self):
         digit_id = int(self.digit_id_rng.integers(len(self.data)))

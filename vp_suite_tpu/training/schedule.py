@@ -43,7 +43,16 @@ def set_learning_rate(state, lr):
     opt_state = state.opt_state
     if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
         hp = dict(opt_state.hyperparams)
-        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        # place the new scalar exactly like the old one: an uncommitted host
+        # scalar in an otherwise device-committed state changes the jit cache
+        # key and forces a train_step recompile every epoch (minutes each on
+        # remote-compile TPU backends)
+        old = hp.get("learning_rate")
+        new_lr = jnp.asarray(lr, jnp.float32)
+        if hasattr(old, "sharding"):
+            import jax
+            new_lr = jax.device_put(new_lr, old.sharding)
+        hp["learning_rate"] = new_lr
         opt_state = opt_state._replace(hyperparams=hp)
         return state.replace(opt_state=opt_state)
     return state

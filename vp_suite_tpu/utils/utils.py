@@ -237,6 +237,17 @@ def enable_compilation_cache(cache_dir=None):
     Safe to call multiple times; returns the cache dir or None on failure."""
     import jax
     from vp_suite_tpu.defaults import SETTINGS
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend == "cpu":
+        # XLA:CPU caches AOT-compiled machine code keyed WITHOUT the host's
+        # CPU feature set; loading an entry produced on a different machine
+        # warns about feature mismatch and can SIGILL (observed: crash inside
+        # AllGatherThunk from a stale cache entry). CPU compiles are fast
+        # anyway — only cache for accelerator backends.
+        return None
     cache_dir = str(cache_dir or (SETTINGS.RUN_PATH / "jax_cache"))
     try:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)

@@ -42,7 +42,8 @@ from vp_suite_tpu.training.data import BatchLoader
 from vp_suite_tpu.training.loop import make_train_step, make_eval_step, make_predict_fn
 from vp_suite_tpu.training.train_state import create_train_state, TrainState
 from vp_suite_tpu.training.schedule import ReduceLROnPlateau, set_learning_rate
-from vp_suite_tpu.parallel.mesh import make_mesh, shard_params, batch_sharding
+from vp_suite_tpu.parallel.mesh import (make_mesh, shard_params, batch_sharding,
+                                        replicated_sharding)
 from vp_suite_tpu.checkpoint import save_checkpoint, load_checkpoint
 
 
@@ -341,9 +342,10 @@ class VPSuite:
                 context_frames=run_config["context_frames"],
                 pred_frames=run_config["pred_frames"])
         state = entry.state
-        state = state.replace(params=shard_params(state.params, mesh),
-                              opt_state=shard_params(state.opt_state, mesh),
-                              extra_vars=shard_params(state.extra_vars, mesh))
+        # commit the ENTIRE state (incl. step/rng/model_state scalars) to the
+        # mesh: leaving any leaf uncommitted makes the first train_step call
+        # compile a second program once its outputs come back committed
+        state = jax.device_put(state, replicated_sharding(mesh))
         state = set_learning_rate(state, run_config["lr"])
 
         # losses + steps
@@ -392,9 +394,26 @@ class VPSuite:
                 n_steps, last_metrics = 0, {}
                 if profile_dir and epoch == 1:
                     jax.profiler.start_trace(profile_dir)
-                from vp_suite_tpu.training.data import device_prefetch
-                prefetched = device_prefetch(train_loader, sharding=data_sharding,
-                                             depth=run_config["prefetch_batches"])
+                # device-resident synthesis backend: the dataset generates
+                # every batch ON the accelerator from a PRNG key, so the
+                # 1-core host never touches frame data (the torch reference
+                # needs a 4-worker DataLoader here, vpsuite.py:296-298).
+                # Multi-host runs keep the host path (per-process shards).
+                use_device_gen = (
+                    getattr(train_data, "backend", None) == "device"
+                    and hasattr(train_data, "device_batch_iterator")
+                    and jax.process_count() == 1)
+                if use_device_gen:
+                    epoch_steps = steps_cap or len(train_loader)
+                    prefetched = train_data.device_batch_iterator(
+                        local_bs, epoch_steps,
+                        seed=run_config["seed"] * 9973 + epoch,
+                        sharding=data_sharding if n_dev > 1 else None)
+                else:
+                    from vp_suite_tpu.training.data import device_prefetch
+                    prefetched = device_prefetch(
+                        train_loader, sharding=data_sharding,
+                        depth=run_config["prefetch_batches"])
                 for device_batch in prefetched:
                     state, metrics = train_step(state, device_batch,
                                                 jnp.asarray(epoch, jnp.float32))
@@ -503,8 +522,11 @@ class VPSuite:
             import optuna
             study = optuna.create_study(direction=run_config["opt_direction"])
         except ImportError:
-            study = _RandomSearchStudy(direction=run_config["opt_direction"],
-                                       seed=run_config["seed"])
+            # TPE-lite sampler (same algorithm family as optuna's default;
+            # see training/hyperopt.py) — beats the old random-search fallback
+            from vp_suite_tpu.training.hyperopt import TPEStudy
+            study = TPEStudy(direction=run_config["opt_direction"],
+                             seed=run_config["seed"])
         study.optimize(program, n_trials=n_trials)
         best_params = study.best_params
         print("\nHyperparameter optimization complete. Best performing parameters:")
@@ -752,53 +774,3 @@ class _TestLogger:
                 self.wandb.finish()
             except Exception:
                 pass
-
-
-class _Trial:
-    r"""Minimal optuna-Trial-compatible object for the random-search fallback."""
-
-    def __init__(self, number, rng):
-        self.number = number
-        self.rng = rng
-        self.params = {}
-
-    def suggest_categorical(self, name, choices):
-        val = choices[int(self.rng.integers(len(choices)))]
-        self.params[name] = val
-        return val
-
-    def suggest_int(self, name, low, high, step=1):
-        val = int(self.rng.integers(low, high + 1))
-        self.params[name] = val
-        return val
-
-    def suggest_float(self, name, low, high, log=False, step=None):
-        if log:
-            val = float(np.exp(self.rng.uniform(np.log(low), np.log(high))))
-        else:
-            val = float(self.rng.uniform(low, high))
-        self.params[name] = val
-        return val
-
-
-class _RandomSearchStudy:
-    r"""Random-search replacement for optuna (not installed in this
-    environment); same ``optimize``/``best_params`` surface."""
-
-    def __init__(self, direction="minimize", seed=0):
-        self.direction = direction
-        self.rng = np.random.default_rng(seed)
-        self.trials = []
-
-    def optimize(self, func, n_trials=10):
-        for i in range(n_trials):
-            trial = _Trial(i, self.rng)
-            value = func(trial)
-            self.trials.append((value, trial.params))
-
-    @property
-    def best_params(self):
-        if not self.trials:
-            return {}
-        key = (lambda t: -t[0]) if self.direction == "maximize" else (lambda t: t[0])
-        return min(self.trials, key=key)[1]
