@@ -55,7 +55,7 @@ def _cost_flops(lowerable, *args):
 
 def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bfloat16",
                  platform=None, remat=True, use_pallas=False, model_id="convlstm-shi",
-                 unroll=1):
+                 unroll=1, donate=True):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -88,8 +88,11 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
     if trainable:
         loss_provider = PredictionLossProvider(
             {"losses_and_scales": {"mse": 1.0}, "img_c": 3, "device": None})
+        # donate the state like the facade's real train loop does (buffer
+        # aliasing for params/opt state); the timing loops below thread the
+        # returned state instead of reusing the donated one
         train_step = make_train_step(model, run_config, optimizer, loss_provider,
-                                     donate=False)
+                                     donate=donate)
     predict = make_predict_fn(model, run_config)
 
     rng = np.random.RandomState(0)
@@ -112,10 +115,12 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
         return float(np.asarray(mm["total"]))
 
     def timed_run(n):
-        s = state
+        nonlocal state
+        # thread the returned state (inputs are donated; reusing a consumed
+        # buffer across timed runs would error)
         t0 = time.perf_counter()
         for _ in range(n):
-            s, mm = train_step(s, device_batch, epoch)
+            state, mm = train_step(state, device_batch, epoch)
         sync(mm)
         return time.perf_counter() - t0
 

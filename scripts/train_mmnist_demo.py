@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--skip-test", action="store_true")
     parser.add_argument("--model", default="convlstm-shi",
                         help="model registry id to train")
+    parser.add_argument("--backend", default="device",
+                        help="MMF generation backend: device (TPU-resident, "
+                             "fastest) | native | numpy")
     args = parser.parse_args()
 
     if args.cpu:
@@ -33,14 +36,16 @@ def main():
 
     from vp_suite_tpu import VPSuite
     suite = VPSuite()
-    suite.load_dataset("MMF", img_size=args.img, backend="native",
+    suite.load_dataset("MMF", img_size=args.img, backend=args.backend,
                        digit_source="synthetic",
                        n_seqs={"train": 9600, "val": 64, "test": 64})
     from pathlib import Path as _P
     if args.resume and (_P(args.out) / "best_model").exists():
         suite.load_model(args.out, "best_model")
     else:
-        suite.create_model(args.model)
+        # UNet-3D's temporal_dim is a REQUIRED_ARG the dataset can't provide
+        extra = {"temporal_dim": 3} if args.model == "unet-3d" else {}
+        suite.create_model(args.model, **extra)
     best = suite.train(epochs=args.epochs, batch_size=args.batch,
                        context_frames=5, pred_frames=10,
                        steps_per_epoch=args.steps, no_vis=True, no_wandb=True,
@@ -52,9 +57,12 @@ def main():
         return
     suite.load_dataset("MMF", split="test", img_size=args.img, backend="native",
                        digit_source="synthetic", n_seqs=64)
+    # lpips here runs on deterministic random features (no pretrained
+    # AlexNet in this zero-egress environment) — a valid within-comparison
+    # perceptual distance, labeled LPIPS-rf in the tables
     results = suite.test(brief_test=False, context_frames=5, pred_frames=10,
                          no_wandb=True, no_vis=True,
-                         metrics=["mse", "psnr", "ssim"])
+                         metrics=["mse", "psnr", "ssim", "lpips"])
     summary = {"best_val_mse": best,
                "test_final_horizon": {k: v[-1] for k, v in results[0].items()}}
     print(json.dumps(summary, indent=2))

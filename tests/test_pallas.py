@@ -229,3 +229,53 @@ def test_warp_sample_fallback_matches_gather():
     g2 = jax.grad(f2, argnums=(0, 1))(img, flows)
     for a, bb in zip(g1, g2):
         assert np.abs(np.asarray(a) - np.asarray(bb)).max() < 1e-4
+
+
+def test_warp_ret_fwd_matches_fallback_interpret():
+    r"""The warp+ret fused forward kernel must equal warp_sample + einsum
+    ret contraction (the CPU fallback path)."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    iy, ix, img = _fused_inputs(seed=9)
+    rng = np.random.default_rng(10)
+    L, f = iy.shape[1], img.shape[-1]
+    W = jnp.asarray((rng.random((L, f, 3 * f)) - 0.5).astype(np.float32))
+    bias = jnp.asarray(rng.random((3 * f,)).astype(np.float32))
+    ref = pw._warpret_fwd_impl(iy, ix, img, W, bias)  # fallback on CPU
+    orig = pw._warpret_eligible
+    pw._warpret_eligible = lambda *a: True
+    try:
+        with _interpret_pallas():
+            got = pw._warpret_pallas(iy, ix, img, W, bias)
+    finally:
+        pw._warpret_eligible = orig
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
+
+
+def test_warp_ret_bwd_matches_autodiff_interpret():
+    r"""The warp+ret backward kernels (d_img; d_iy/d_ix + d_W) must equal
+    autodiff through the fallback composition."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    iy, ix, img = _fused_inputs(seed=11)
+    rng = np.random.default_rng(12)
+    b, L, P = iy.shape
+    f = img.shape[-1]
+    W = jnp.asarray((rng.random((L, f, 3 * f)) - 0.5).astype(np.float32))
+    bias = jnp.asarray(rng.random((3 * f,)).astype(np.float32))
+    g = jnp.asarray(rng.random((b, 3 * f, P)).astype(np.float32))
+
+    def fallback(iy_, ix_, img_, w_, bias_):
+        warped = pw.warp_sample(iy_, ix_, img_)
+        out = jnp.einsum("blfp,lfo->bop", warped, w_)
+        return out + bias_[None, :, None]
+
+    _, vjp = jax.vjp(fallback, iy, ix, img, W, bias)
+    ref = vjp(g)
+    orig = pw._warpret_eligible
+    pw._warpret_eligible = lambda *a: True
+    try:
+        with _interpret_pallas():
+            got = pw._warpret_bwd((iy, ix, img, W, bias), g)
+    finally:
+        pw._warpret_eligible = orig
+    for r, q, name in zip(ref, got, ["d_iy", "d_ix", "d_img", "d_w", "d_bias"]):
+        assert np.abs(np.asarray(r) - np.asarray(q)).max() < 1e-4, name

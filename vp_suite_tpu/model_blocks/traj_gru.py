@@ -9,12 +9,15 @@ gate pre-activations.
 
 TPU-first restructuring (numerically identical):
 - the input-to-hidden 3-gate conv is batched over all timesteps outside the
-  scan (the reference also batches it, ``traj_gru.py:176-180``);
-- the L trajectory warps run as ONE matmul-form bilinear pass
-  (``vp_suite_tpu.ops.grid_sample.warp_flow_multi``, torch ``F.grid_sample``
-  parity) — TPU gathers are serialization-bound, separable one-hot
-  contractions ride the MXU instead;
-- the recurrence is a ``lax.scan`` with chip-resident hidden state.
+  scan (the reference also batches it, ``traj_gru.py:176-180``) and handed to
+  the scan channel-major (the fused kernel's native layout);
+- the L trajectory warps AND the 1x1 ``ret`` conv run as ONE fused Pallas
+  pass (``ops.grid_sample.warp_flow_ret``; einsum twin
+  ``warp_flow_multi`` + 1x1 conv elsewhere, torch ``F.grid_sample`` parity) —
+  TPU gathers are serialization-bound, separable one-hot contractions ride
+  the MXU instead, and the [b, P, L*f] warp tensor never exists in HBM;
+- the recurrence is a ``lax.scan`` with chip-resident hidden state and
+  channel-major gate math.
 
 State height/width derive from the i2h conv arithmetic exactly like the
 reference ``BaseConvRNN`` (``traj_gru.py:37-67``).
@@ -28,7 +31,7 @@ import flax.linen as nn
 
 from vp_suite_tpu.base.base_model_block import VPModelBlock
 from vp_suite_tpu.model_blocks._functional import conv2d, make_conv_params
-from vp_suite_tpu.ops.grid_sample import warp_flow_multi
+from vp_suite_tpu.ops.grid_sample import warp_flow_ret
 
 
 def conv_rnn_state_size(in_h, in_w, i2h_kernel, i2h_stride, i2h_pad, i2h_dilate=(1, 1)):
@@ -94,18 +97,29 @@ class TrajGRU(VPModelBlock):
             x_flat = inputs.reshape(bt, *inputs.shape[2:])
             i2h = conv2d(x_flat, i2h_k, i2h_b, self.i2h_stride, self.i2h_pad)
             i2f = conv2d(x_flat, i2f_k, i2f_b, 1, (2, 2))
+            # i2h goes to the scan CHANNEL-MAJOR [t, b, 3f, sh*sw]: the fused
+            # warp+ret kernel emits gate pre-activations channel-major, so
+            # hoisting ONE transpose of the whole stack here removes the
+            # per-step [b, P, L*f]-sized layout copies the profiler flagged
+            i2h = i2h.reshape(bt, sh * sw, 3 * f).transpose(0, 2, 1)
             if self.time_major:
-                xs = (i2h.reshape(seq_len, b, sh, sw, 3 * f),
+                xs = (i2h.reshape(seq_len, b, 3 * f, sh * sw),
                       i2f.reshape(seq_len, b, *i2f.shape[1:]))
             else:
-                i2h = i2h.reshape(b, seq_len, sh, sw, 3 * f)
+                i2h = i2h.reshape(b, seq_len, 3 * f, sh * sw)
                 i2f = i2f.reshape(b, seq_len, *i2f.shape[1:])
                 xs = (jnp.moveaxis(i2h, 1, 0), jnp.moveaxis(i2f, 1, 0))
         else:
             xs = None
 
+        # ret weights viewed per flow for the fused kernel: conv kernel
+        # [1, 1, L*f, 3f] -> [L, f, 3f] (warp channel blocks are in flow
+        # order, so input channel l*f + c maps to (l, c))
+        ret_w = ret_k.reshape(self.L, f, 3 * f)
+
         def flow_h2h(prev_h, i2f_step):
-            r"""Generates L flows and returns the 1x1-conv'd warped hidden."""
+            r"""Generates L flows and returns the warp+ret gate
+            pre-activations, channel-major [b, 3f, P]."""
             from jax.ad_checkpoint import checkpoint_name
             f_conv1 = conv2d(prev_h, h2f_k, h2f_b, 1, (2, 2))
             if i2f_step is not None:
@@ -114,16 +128,15 @@ class TrajGRU(VPModelBlock):
             # saving the (small) flow fields lets the backward skip the
             # flow-generator convs before re-running the warp VJP
             flows = checkpoint_name(flows, "trajgru_flows")
-            # all L warps in one matmul-form pass (no TPU gathers); equals
-            # concat of per-flow warp_flow(prev_h, -flow_l) blocks
-            warped = warp_flow_multi(prev_h, -flows)             # [b, sh, sw, L*f]
-            # saving the warp output removes the most expensive recompute in
-            # the backward (the warp fwd kernel); ~330 MB/step at 64x64 in
-            # bf16 — fits v5e HBM at the bench config and buys ~12% step time
-            warped = checkpoint_name(warped, "trajgru_warped")
+            # the L warps and the 1x1 ret conv run as ONE fused Pallas pass:
+            # W_l^T @ warp_l accumulates over flows in VMEM, so the
+            # [b, P, L*f] warp tensor (~330 MB/step at 64x64) never exists in
+            # HBM (equals concat of per-flow warp_flow(prev_h, -flow_l)
+            # blocks followed by the ret conv)
+            h2h = warp_flow_ret(prev_h, -flows, ret_w, ret_b)    # [b, 3f, P]
             # named for selective remat: saving h2h lets the backward skip
-            # recomputing the flow generator + L warps + ret conv
-            return checkpoint_name(conv2d(warped, ret_k, ret_b, 1, 0), "trajgru_h2h")
+            # recomputing the flow generator + the fused warp pass
+            return checkpoint_name(h2h, "trajgru_h2h")
 
         # per-channel keep masks for zoneout, drawn for all steps upfront so
         # the scan body stays pure
@@ -138,31 +151,40 @@ class TrajGRU(VPModelBlock):
                 return next_h
             return jnp.where(mask, prev_h, next_h)
 
+        def _gates_to_next_h(prev_h, h2h, i2h_step):
+            r"""Gate math in the kernel's channel-major layout; prev_h in/out
+            NHWC (ONE small [b, f, P] transpose each way — vs the [b, P, L*f]
+            copies of the unfused path)."""
+            prev_cm = prev_h.reshape(b, sh * sw, f).transpose(0, 2, 1)
+            hr, hu, hm = jnp.split(h2h, 3, axis=1)
+            if i2h_step is not None:
+                ir, iu, im = jnp.split(i2h_step, 3, axis=1)
+                reset = jax.nn.sigmoid(ir + hr)
+                update = jax.nn.sigmoid(iu + hu)
+                new_mem = act(im + reset * hm)
+            else:
+                reset = jax.nn.sigmoid(hr)
+                update = jax.nn.sigmoid(hu)
+                new_mem = act(reset * hm)
+            next_cm = update * prev_cm + (1.0 - update) * new_mem
+            return next_cm.transpose(0, 2, 1).reshape(b, sh, sw, f)
+
         def step_with_input(prev_h, x):
             i2h_step, i2f_step, mask = x
             h2h = flow_h2h(prev_h, i2f_step)
-            hr, hu, hm = jnp.split(h2h, 3, axis=-1)
-            ir, iu, im = jnp.split(i2h_step, 3, axis=-1)
-            reset = jax.nn.sigmoid(ir + hr)
-            update = jax.nn.sigmoid(iu + hu)
-            new_mem = act(im + reset * hm)
-            next_h = update * prev_h + (1.0 - update) * new_mem
+            next_h = _gates_to_next_h(prev_h, h2h, i2h_step)
             next_h = _apply_zoneout(prev_h, next_h, mask)
             return next_h, next_h
 
         def step_decode(prev_h, mask):
             h2h = flow_h2h(prev_h, None)
-            hr, hu, hm = jnp.split(h2h, 3, axis=-1)
-            reset = jax.nn.sigmoid(hr)
-            update = jax.nn.sigmoid(hu)
-            new_mem = act(reset * hm)
-            next_h = update * prev_h + (1.0 - update) * new_mem
+            next_h = _gates_to_next_h(prev_h, h2h, None)
             next_h = _apply_zoneout(prev_h, next_h, mask)
             return next_h, next_h
 
         if self.remat:
             policy = jax.checkpoint_policies.save_only_these_names(
-                "trajgru_h2h", "trajgru_flows", "trajgru_warped")
+                "trajgru_h2h", "trajgru_flows")
             step_with_input = jax.checkpoint(step_with_input, policy=policy)
             step_decode = jax.checkpoint(step_decode, policy=policy)
         if xs is not None:

@@ -109,14 +109,9 @@ def warp_flow_multi(img, flows):
     """
     b, h, w, c = img.shape
     L = flows.shape[-1] // 2
-    f = jnp.moveaxis(flows.reshape(b, h, w, L, 2), 3, 1)  # [b, L, h, w, 2]
-    f = f.astype(jnp.float32)
-    xx = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
-    yy = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
     # torch round trip: normalize by (dim-1), grid_sample unnormalizes with
     # align_corners=False -> ix = v * dim/(dim-1) - 1/2 (see warp_flow)
-    ix = (xx + f[..., 0]) * (w / max(w - 1, 1)) - 0.5
-    iy = (yy + f[..., 1]) * (h / max(h - 1, 1)) - 0.5
+    iy, ix = _flow_to_indices(img, flows)
 
     # fused path: the Pallas kernel builds the one-hot factor tiles in VMEM
     # directly from the fractional indices (no [b,L,P,h]-sized factor arrays
@@ -124,8 +119,44 @@ def warp_flow_multi(img, flows):
     # accumulate f32 (see ops/pallas_warp.py). The kernel emits channel-major
     # [b, L, c, P]; ONE transpose reaches the [b, h, w, L*c] consumer layout.
     from vp_suite_tpu.ops.pallas_warp import warp_sample
-    outs = warp_sample(iy.reshape(b, L, h * w), ix.reshape(b, L, h * w), img)
+    outs = warp_sample(iy, ix, img)
     return outs.transpose(0, 3, 1, 2).reshape(b, h, w, L * c)
+
+
+def _flow_to_indices(img, flows):
+    r"""[b, h, w, 2L] pixel-space flows -> fractional sample indices
+    iy/ix [b, L, h*w] f32 (torch align_corners=False round trip, see
+    ``warp_flow_multi``)."""
+    b, h, w, _ = img.shape
+    L = flows.shape[-1] // 2
+    f = jnp.moveaxis(flows.reshape(b, h, w, L, 2), 3, 1)
+    f = f.astype(jnp.float32)
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    yy = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    ix = (xx + f[..., 0]) * (w / max(w - 1, 1)) - 0.5
+    iy = (yy + f[..., 1]) * (h / max(h - 1, 1)) - 0.5
+    return iy.reshape(b, L, h * w), ix.reshape(b, L, h * w)
+
+
+def warp_flow_ret(img, flows, w, bias):
+    r"""The L trajectory warps fused with TrajGRU's 1x1 ``ret`` conv.
+
+    Semantically ``conv1x1(warp_flow_multi(img, flows), w_ret, bias)``
+    (reference ``traj_gru.py:198-207``) but the [b, h, w, L*c] warp tensor is
+    never materialised: the Pallas kernel accumulates ``W_l^T @ warp_l`` over
+    flows in VMEM (see ``ops/pallas_warp.warp_ret``).
+
+    Args:
+        img: [b, h, w, c].
+        flows: [b, h, w, 2*L] pixel-space offsets, (dx, dy) pairs.
+        w: [L, c, O] ret weights (the conv kernel's [1, 1, L*c, O] reshaped).
+        bias: [O].
+
+    Returns: [b, O, h*w] channel-major gate pre-activations.
+    """
+    from vp_suite_tpu.ops.pallas_warp import warp_ret
+    iy, ix = _flow_to_indices(img, flows)
+    return warp_ret(iy, ix, img, w, bias)
 
 
 def warp_flow(img, flow):

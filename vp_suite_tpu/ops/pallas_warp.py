@@ -447,3 +447,251 @@ def _warp_bwd(res, g):
 
 
 warp_contract.defvjp(_warp_fwd, _warp_bwd)
+
+
+# --------------------------------------------------------------------- #
+# Warp + 1x1 'ret' conv fusion.
+#
+# TrajGRU's h2h path is ``ret(concat_l warp_l(h))`` — a 1x1 conv over the
+# L*f-channel concatenation of the warps (reference
+# ``vp_suite/model_blocks/traj_gru.py:198-207``). Materialising that
+# concatenation costs [b, L*f, P] of HBM per step (327 MB at the layer-1
+# bench shape) plus the ret conv's reads and its VJP's writes. These kernels
+# contract the ret weights INSIDE the warp grid instead: for each
+# (batch, pixel-tile) the L flows accumulate ``W_l^T @ warp_l`` into a
+# [3f, PT] f32 VMEM scratch (l innermost in the grid, so the block never
+# leaves VMEM), and only the finished gate pre-activations [b, 3f, P] are
+# written out — the warp tensor never exists in HBM, forward or backward.
+
+def _make_warpret_fwd_kernel(H, W, L):
+    r"""grid (b, P//PT, L). idx [1,1,2,PT]; img [1,F,H*W]; w [1,F,3F];
+    bias [1,3F]; out [1,3F,PT]; acc scratch [3F,PT] f32."""
+    def kernel(idx_ref, img_ref, w_ref, bias_ref, out_ref, acc_ref):
+        a = _factor_tile(idx_ref[0, 0, 0, :], H, img_ref.dtype)
+        bm = _factor_tile(idx_ref[0, 0, 1, :], W, img_ref.dtype)
+        m = (a[:, None, :] * bm[None, :, :]).reshape(H * W, a.shape[-1])
+        warp = jnp.dot(img_ref[0], m,
+                       preferred_element_type=jnp.float32)        # [F, PT]
+        # contrib[o, p] = sum_f w[f, o] * warp[f, p]
+        contrib = lax.dot_general(w_ref[0], warp, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        li = pl.program_id(2)
+
+        @pl.when(li == 0)
+        def _init():
+            acc_ref[...] = contrib + bias_ref[0][:, None]
+
+        @pl.when(li != 0)
+        def _acc():
+            acc_ref[...] += contrib
+
+        @pl.when(li == L - 1)
+        def _flush():
+            out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+    return kernel
+
+
+def _make_warpret_dimg_kernel(H, W):
+    r"""d_img[(y,x), f] += M[(y,x), p] g_l[f, p] with g_l = W_l @ d_h2h
+    computed in VMEM. grid (b, L, P//PT); out [1, H*W, F] f32 (constant over
+    l, p)."""
+    def kernel(idx_ref, w_ref, dh_ref, dimg_ref):
+        g_l = lax.dot_general(w_ref[0], dh_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [F, PT]
+        g_l = g_l.astype(dh_ref.dtype)
+        a = _factor_tile(idx_ref[0, 0, 0, :], H, g_l.dtype)
+        bm = _factor_tile(idx_ref[0, 0, 1, :], W, g_l.dtype)
+        m = (a[:, None, :] * bm[None, :, :]).reshape(H * W, a.shape[-1])
+        contrib = lax.dot_general(m, g_l, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+        @pl.when(first)
+        def _init():
+            dimg_ref[0] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _acc():
+            dimg_ref[0] += contrib
+    return kernel
+
+
+def _make_warpret_didx_dw_kernel(H, W):
+    r"""Index gradients (as in the plain fused kernel) plus the ret-weight
+    gradient, both from the in-VMEM rebuilt factors:
+
+        g_l   = W_l @ d_h2h                      [F, PT]
+        t     = img^T g_l                        [(y,x), PT]  -> d_iy/d_ix
+        warp  = img^T-contraction with M         [F, PT]
+        d_W_l += warp @ d_h2h^T                  [F, 3F]
+
+    grid (L, b, P//PT): l OUTERMOST so each d_W[l] block's revisits (the
+    whole b x p sweep) are consecutive — Pallas only guarantees cross-grid
+    accumulation for consecutively revisited output blocks (a (b, L, p)
+    ordering was measured to corrupt d_W). img [1, H*W, F]."""
+    def kernel(idx_ref, img_ref, w_ref, dh_ref, didx_ref, dw_ref):
+        iy = idx_ref[0, 0, 0, :]
+        ix = idx_ref[0, 0, 1, :]
+        a = _factor_tile(iy, H, jnp.float32)
+        bm = _factor_tile(ix, W, jnp.float32)
+        g_l = lax.dot_general(w_ref[0], dh_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [F, PT]
+        # t[(y,x), p] = sum_f img[(y,x), f] g_l[f, p]
+        t = lax.dot_general(img_ref[0], g_l, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        t = t.reshape(H, W, -1)
+        d_a = jnp.sum(t * bm[None, :, :], axis=1)          # [H, PT]
+        d_bm = jnp.sum(t * a[:, None, :], axis=0)          # [W, PT]
+
+        def d_frac(d_fac, i_frac, n):
+            i0 = jnp.floor(i_frac)
+            i1 = i0 + 1.0
+            v0 = ((i0 >= 0) & (i0 <= n - 1)).astype(jnp.float32)
+            v1 = ((i1 >= 0) & (i1 <= n - 1)).astype(jnp.float32)
+            iota = lax.broadcasted_iota(jnp.int32, d_fac.shape, 0) \
+                .astype(jnp.float32)
+            sel = (iota == i1[None, :]) * v1[None, :] \
+                - (iota == i0[None, :]) * v0[None, :]
+            return jnp.sum(d_fac * sel, axis=0)            # [PT]
+
+        didx_ref[0, 0, 0, :] = d_frac(d_a, iy, H)
+        didx_ref[0, 0, 1, :] = d_frac(d_bm, ix, W)
+
+        # d_W_l[f, o] += warp[f, p] d_h2h[o, p]
+        m = (a[:, None, :] * bm[None, :, :]).reshape(H * W, a.shape[-1]) \
+            .astype(img_ref.dtype)
+        warp = lax.dot_general(img_ref[0], m, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [F, PT]
+        dw_contrib = lax.dot_general(
+            warp.astype(dh_ref.dtype), dh_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [F, 3F]
+        first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+        @pl.when(first)
+        def _init():
+            dw_ref[0] = dw_contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _acc():
+            dw_ref[0] += dw_contrib
+    return kernel
+
+
+def _warpret_eligible(iy, img):
+    if jax.default_backend() != "tpu":
+        return False
+    P = iy.shape[-1]
+    h, w, c = img.shape[1], img.shape[2], img.shape[3]
+    return P % _PT == 0 and h * w == P and h <= 256 and c % 8 == 0
+
+
+@jax.custom_vjp
+def warp_ret(iy, ix, img, w, bias):
+    r"""Multi-flow bilinear warp fused with the 1x1 'ret' conv.
+
+    out[b, o, p] = bias[o]
+                 + sum_l sum_f w[l, f, o] * warp(img, iy[l], ix[l])[b, f, p]
+
+    i.e. exactly ``ret_conv(concat_l warp_l)`` with channel-major output
+    (reference semantics: ``vp_suite/model_blocks/traj_gru.py:198-207``).
+
+    Args:
+        iy, ix: [b, L, P] f32 fractional sample indices.
+        img: [b, h, w, f].
+        w: [L, f, O] ret weights (O = 3f for TrajGRU).
+        bias: [O].
+    Returns: [b, O, P] in img.dtype.
+    """
+    return _warpret_fwd_impl(iy, ix, img, w, bias)
+
+
+def _warpret_fwd_impl(iy, ix, img, w, bias):
+    if _warpret_eligible(iy, img):
+        return _warpret_pallas(iy, ix, img, w, bias)
+    warped = warp_sample(iy, ix, img)                      # [b, L, f, P]
+    out = jnp.einsum("blfp,lfo->bop", warped.astype(jnp.float32),
+                     w.astype(jnp.float32))
+    return (out + bias.astype(jnp.float32)[None, :, None]).astype(img.dtype)
+
+
+def _warpret_pallas(iy, ix, img, w, bias):
+    from jax.experimental.pallas import tpu as pltpu
+    b, L, P = iy.shape
+    _, h, ww, f = img.shape
+    O = w.shape[-1]
+    idx = jnp.stack([iy, ix], axis=2)                      # [b, L, 2, P]
+    img2 = img.transpose(0, 3, 1, 2).reshape(b, f, h * ww)
+    return pl.pallas_call(
+        _make_warpret_fwd_kernel(h, ww, L),
+        grid=(b, P // _PT, L),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, _PT), lambda bi, pi, li: (bi, li, 0, pi)),
+            pl.BlockSpec((1, f, h * ww), lambda bi, pi, li: (bi, 0, 0)),
+            pl.BlockSpec((1, f, O), lambda bi, pi, li: (li, 0, 0)),
+            pl.BlockSpec((1, O), lambda bi, pi, li: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, O, _PT), lambda bi, pi, li: (bi, 0, pi)),
+        out_shape=jax.ShapeDtypeStruct((b, O, P), img.dtype),
+        scratch_shapes=[pltpu.VMEM((O, _PT), jnp.float32)],
+    )(idx, img2, w.astype(img.dtype), bias.reshape(1, O).astype(jnp.float32))
+
+
+def _warpret_fwd(iy, ix, img, w, bias):
+    return _warpret_fwd_impl(iy, ix, img, w, bias), (iy, ix, img, w, bias)
+
+
+def _warpret_bwd(res, g):
+    iy, ix, img, w, bias = res
+    if _warpret_eligible(iy, img):
+        b, L, P = iy.shape
+        _, h, ww, f = img.shape
+        O = w.shape[-1]
+        idx = jnp.stack([iy, ix], axis=2)
+        w_c = w.astype(img.dtype)
+        g_c = g.astype(img.dtype)                          # [b, O, P]
+        img_flat = img.reshape(b, h * ww, f)
+        d_img = pl.pallas_call(
+            _make_warpret_dimg_kernel(h, ww),
+            grid=(b, L, P // _PT),
+            in_specs=[
+                pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+                pl.BlockSpec((1, f, O), lambda bi, li, pi: (li, 0, 0)),
+                pl.BlockSpec((1, O, _PT), lambda bi, li, pi: (bi, 0, pi)),
+            ],
+            out_specs=pl.BlockSpec((1, h * ww, f), lambda bi, li, pi: (bi, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h * ww, f), jnp.float32),
+        )(idx, w_c, g_c)
+        d_idx, d_w = pl.pallas_call(
+            _make_warpret_didx_dw_kernel(h, ww),
+            grid=(L, b, P // _PT),
+            in_specs=[
+                pl.BlockSpec((1, 1, 2, _PT), lambda li, bi, pi: (bi, li, 0, pi)),
+                pl.BlockSpec((1, h * ww, f), lambda li, bi, pi: (bi, 0, 0)),
+                pl.BlockSpec((1, f, O), lambda li, bi, pi: (li, 0, 0)),
+                pl.BlockSpec((1, O, _PT), lambda li, bi, pi: (bi, 0, pi)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 2, _PT), lambda li, bi, pi: (bi, li, 0, pi)),
+                pl.BlockSpec((1, f, O), lambda li, bi, pi: (li, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, L, 2, P), jnp.float32),
+                jax.ShapeDtypeStruct((L, f, O), jnp.float32),
+            ],
+        )(idx, img_flat, w_c, g_c)
+        d_bias = jnp.sum(g.astype(jnp.float32), axis=(0, 2))
+        return (d_idx[:, :, 0], d_idx[:, :, 1],
+                d_img.reshape(b, h, ww, f).astype(img.dtype),
+                d_w.astype(w.dtype), d_bias.astype(bias.dtype))
+
+    def fallback(iy_, ix_, img_, w_, bias_):
+        warped = warp_sample(iy_, ix_, img_)
+        out = jnp.einsum("blfp,lfo->bop", warped.astype(jnp.float32),
+                         w_.astype(jnp.float32))
+        return (out + bias_.astype(jnp.float32)[None, :, None]) \
+            .astype(img_.dtype)
+    _, vjp = jax.vjp(fallback, iy, ix, img, w, bias)
+    return vjp(g)
+
+
+warp_ret.defvjp(_warpret_fwd, _warpret_bwd)
