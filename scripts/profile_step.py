@@ -16,7 +16,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def capture(model_id, img, ctx, pred, batch, steps, out_dir):
+def capture(model_id, img, ctx, pred, batch, steps, out_dir, remat=True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,7 +30,7 @@ def capture(model_id, img, ctx, pred, batch, steps, out_dir):
 
     kwargs = dict(img_shape=(3, img, img), action_size=0,
                   tensor_value_range=(0.0, 1.0), compute_dtype=jnp.bfloat16,
-                  remat=True)
+                  remat=remat)
     model = MODEL_CLASSES[model_id](**kwargs)
     run_config = {"context_frames": ctx, "pred_frames": pred, "use_actions": False}
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
@@ -113,9 +113,14 @@ def main():
     parser.add_argument("--summarize-only", action="store_true")
     parser.add_argument("--full-names", action="store_true",
                         help="keep per-op HLO ids instead of grouping")
+    parser.add_argument("--no-remat", action="store_true",
+                        help="profile without scan-body remat (remat regions "
+                             "show up as opaque 'checkpoint' events; this "
+                             "exposes the per-op breakdown)")
     args = parser.parse_args()
     if not args.summarize_only:
-        capture(args.model, args.img, 5, 10, args.batch, args.steps, args.out)
+        capture(args.model, args.img, 5, 10, args.batch, args.steps, args.out,
+                remat=not args.no_remat)
     summarize(args.out, args.top, steps=args.steps,
               strip_ids=not args.full_names)
 

@@ -128,15 +128,11 @@ class TrajGRU(VPModelBlock):
             # saving the (small) flow fields lets the backward skip the
             # flow-generator convs before re-running the warp VJP
             flows = checkpoint_name(flows, "trajgru_flows")
-            # the L warps and the 1x1 ret conv run as ONE fused Pallas pass:
-            # W_l^T @ warp_l accumulates over flows in VMEM, so the
-            # [b, P, L*f] warp tensor (~330 MB/step at 64x64) never exists in
-            # HBM (equals concat of per-flow warp_flow(prev_h, -flow_l)
-            # blocks followed by the ret conv)
-            h2h = warp_flow_ret(prev_h, -flows, ret_w, ret_b)    # [b, 3f, P]
-            # named for selective remat: saving h2h lets the backward skip
-            # recomputing the flow generator + the fused warp pass
-            return checkpoint_name(h2h, "trajgru_h2h")
+            # the L warps run in the Pallas kernels' native channel-major
+            # layout and the 1x1 ret conv is a channel-major einsum on top —
+            # no NHWC round trip (equals concat of per-flow
+            # warp_flow(prev_h, -flow_l) blocks followed by the ret conv)
+            return warp_flow_ret(prev_h, -flows, ret_w, ret_b)   # [b, 3f, P]
 
         # per-channel keep masks for zoneout, drawn for all steps upfront so
         # the scan body stays pure
@@ -183,8 +179,11 @@ class TrajGRU(VPModelBlock):
             return next_h, next_h
 
         if self.remat:
+            # save flows (tiny) + the warp tensor: the backward needs the
+            # warp for d_w anyway, and re-running the warp kernels is the
+            # most expensive possible recompute (the step is MXU-bound)
             policy = jax.checkpoint_policies.save_only_these_names(
-                "trajgru_h2h", "trajgru_flows")
+                "trajgru_flows", "warp_ret_warped")
             step_with_input = jax.checkpoint(step_with_input, policy=policy)
             step_decode = jax.checkpoint(step_decode, policy=policy)
         if xs is not None:

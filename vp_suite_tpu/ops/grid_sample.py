@@ -139,12 +139,20 @@ def _flow_to_indices(img, flows):
 
 
 def warp_flow_ret(img, flows, w, bias):
-    r"""The L trajectory warps fused with TrajGRU's 1x1 ``ret`` conv.
+    r"""The L trajectory warps + TrajGRU's 1x1 ``ret`` conv, channel-major.
 
     Semantically ``conv1x1(warp_flow_multi(img, flows), w_ret, bias)``
-    (reference ``traj_gru.py:198-207``) but the [b, h, w, L*c] warp tensor is
-    never materialised: the Pallas kernel accumulates ``W_l^T @ warp_l`` over
-    flows in VMEM (see ``ops/pallas_warp.warp_ret``).
+    (reference ``traj_gru.py:198-207``), composed as the Pallas warp kernels
+    in their NATIVE [b, L, c, P] layout + a channel-major einsum — no NHWC
+    round trip (the [b, P, L*c] transpose pair was ~15% of the round-2 step).
+
+    Why NOT the fully-fused ``pallas_warp.warp_ret`` kernel (kept for
+    reference): profiling showed its backward recomputes the warp tile for
+    d_W at ~1 us of MXU time per program (~6.7 ms/step/layer at the bench
+    shape), while materialising the [b, L, c, P] warp tensor costs only
+    ~0.6 ms of HBM round trip — the step is MXU-bound, so trading HBM for
+    FLOPs is backwards here. XLA then computes d_W as one bulk matmul over
+    the saved tensor.
 
     Args:
         img: [b, h, w, c].
@@ -154,9 +162,16 @@ def warp_flow_ret(img, flows, w, bias):
 
     Returns: [b, O, h*w] channel-major gate pre-activations.
     """
-    from vp_suite_tpu.ops.pallas_warp import warp_ret
+    from jax.ad_checkpoint import checkpoint_name
+    from vp_suite_tpu.ops.pallas_warp import warp_sample
     iy, ix = _flow_to_indices(img, flows)
-    return warp_ret(iy, ix, img, w, bias)
+    warped = warp_sample(iy, ix, img)                      # [b, L, c, P]
+    # named so callers' remat policies can SAVE this tensor: the backward
+    # needs it for d_w, and recomputing it means re-running the warp kernels
+    warped = checkpoint_name(warped, "warp_ret_warped")
+    out = jnp.einsum("blfp,lfo->bop", warped, w,
+                     preferred_element_type=jnp.float32)
+    return (out + bias.astype(jnp.float32)[None, :, None]).astype(img.dtype)
 
 
 def warp_flow(img, flow):
