@@ -41,13 +41,13 @@ def _peak_flops(device):
 
 
 def _cost_flops(lowerable, *args):
-    r"""Executed FLOPs of one call of a jitted fn, via XLA cost analysis.
-    Returns None when the backend doesn't support it."""
+    r"""Executed matmul/conv FLOPs of one call, via the jaxpr walker
+    (``vp_suite_tpu.utils.flops``). NOT XLA cost_analysis: that counts a
+    scan body once regardless of trip count, under-reporting every recurrent
+    model here by the sequence length (verified empirically)."""
     try:
-        ca = lowerable.lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
+        from vp_suite_tpu.utils.flops import count_flops
+        flops = float(count_flops(lowerable, *args))
         return flops if flops > 0 else None
     except Exception:
         return None

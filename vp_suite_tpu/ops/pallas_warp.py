@@ -216,6 +216,10 @@ def _warp_sample_bwd(res, g):
         idx = jnp.stack([iy, ix], axis=2)                  # [b, L, 2, P]
         img2 = img.transpose(0, 3, 1, 2).reshape(b, c, h * w)
         g_t = g                                            # [b, L, c, P]
+        # NOTE: a merged dimg+didx kernel was tried (shared factor builds,
+        # halved launches) and REGRESSED 768 -> 1033 ms/step on the bench —
+        # the combined working set (m 2MB + t 4MB f32 + img + f32 acc block)
+        # defeats Mosaic's double buffering. Split kernels pipeline better.
         d_img = pl.pallas_call(
             _make_fused_dimg_kernel(h, w),
             grid=(b, L, P // _PT),

@@ -105,7 +105,12 @@ def make_train_step(model: VPModel, run_config: dict, optimizer, loss_provider,
 
     def scheduled_sampling_loss_fn(params, extra_vars, batch, rng, model_state, epoch):
         # parity: predrnn_v2.py:319-365 — scheduled-sampling mask per forward,
-        # optional reversed-input second pass averaged in
+        # optional reversed-input second pass averaged in. TPU-first: the
+        # forward and reversed passes share the parameters, so they run as
+        # ONE batched apply at 2x batch — same FLOPs and the same mean loss
+        # ((mean_fwd + mean_rev)/2 == mean over the concat for equal halves),
+        # but half the per-op overhead of two sequential scans (the ST-LSTM
+        # step is op-count-bound around convs already at MXU peak).
         inputs, targets, actions = VPModel.unpack_data(
             batch, cfg, needs_complete_input=True)
         b = inputs.shape[0]
@@ -113,21 +118,21 @@ def make_train_step(model: VPModel, run_config: dict, optimizer, loss_provider,
         mask, model_state = model.scheduled_sampling_mask(model_state, r1, b, ctx, pred,
                                                           train=True)
         kw = {"actions": actions} if use_actions else {}
+        if model.reverse_input:
+            inputs_rev, targets_rev, actions_rev = VPModel.unpack_data(
+                batch, cfg, reverse=True, needs_complete_input=True)
+            mask2, model_state = model.scheduled_sampling_mask(model_state, r2, b, ctx,
+                                                               pred, train=True)
+            inputs = jnp.concatenate([inputs, inputs_rev], axis=0)
+            targets = jnp.concatenate([targets, targets_rev], axis=0)
+            mask = jnp.concatenate([mask, mask2], axis=0)
+            if use_actions:
+                kw = {"actions": jnp.concatenate([actions, actions_rev], axis=0)}
         (preds, aux), new_vars = _apply_model(model, params, extra_vars, inputs,
                                               pred_frames=pred, train=True,
                                               mask_true=mask, rngs={"sample": apply_rng},
                                               **kw)
         total, loss_values = compute_loss(preds, targets, aux)
-        if model.reverse_input:
-            inputs_rev, targets_rev, _ = VPModel.unpack_data(
-                batch, cfg, reverse=True, needs_complete_input=True)
-            mask2, model_state = model.scheduled_sampling_mask(model_state, r2, b, ctx,
-                                                               pred, train=True)
-            (preds_rev, aux_rev), new_vars = _apply_model(
-                model, params, new_vars, inputs_rev, pred_frames=pred, train=True,
-                mask_true=mask2, rngs={"sample": apply_rng}, **kw)
-            total_rev, _ = compute_loss(preds_rev, targets_rev, aux_rev)
-            total = (total + total_rev) / 2.0
         model_state = {**model_state,
                        "training_iteration": model_state["training_iteration"] + 1}
         return total, (loss_values, new_vars, model_state)
