@@ -87,7 +87,8 @@ class DefaultRunConfig:
 
     # --- TPU-native additions (not present in the reference) ---
     device: str = "auto"            #: "auto" picks TPU if present, else CPU.
-    compute_dtype: str = "float32"  #: "bfloat16" activates mixed-precision compute.
+    compute_dtype: str = None  #: None inherits the model's dtype; "bfloat16"
+    #: rebuilds the model with mixed-precision activations for this run.
     data_axis: str = "data"         #: Name of the data-parallel mesh axis.
     num_devices: int = 0            #: 0 = use all local devices for data parallelism.
     multihost: bool = False         #: Initialize jax.distributed and shard data per process (one process per host).

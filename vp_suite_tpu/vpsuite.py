@@ -242,6 +242,23 @@ class VPSuite:
         entry, dataset, run_config = self._prepare_training(dataset_idx, model_idx,
                                                             **run_kwargs)
         model = entry.model
+
+        # run-level mixed-precision: compute_dtype in the run config rebuilds
+        # the model with the requested ACTIVATION dtype (params stay f32, so
+        # the existing state remains valid). Without this, a user passing
+        # compute_dtype="bfloat16" to train() silently trained in f32.
+        run_dtype = run_config.get("compute_dtype")
+        if run_dtype and model.TRAINABLE:
+            cur = jnp.dtype(model.compute_dtype).name \
+                if getattr(model, "compute_dtype", None) is not None else None
+            if jnp.dtype(run_dtype).name != cur:
+                from vp_suite_tpu.checkpoint.checkpoint import model_from_config
+                model = model_from_config(
+                    entry.model_id,
+                    {**model.config, "compute_dtype": jnp.dtype(run_dtype).name})
+                entry.model = model
+                print(f"run compute_dtype={jnp.dtype(run_dtype).name}: "
+                      f"rebuilt model with mixed-precision activations")
         train_data, val_data = dataset.train_data, dataset.val_data
 
         # multi-host: init the distributed runtime and give this process its
