@@ -298,7 +298,9 @@ def main():
                              "(one JSON line per config)")
     parser.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
     parser.add_argument("--dtype", default="bfloat16")
-    parser.add_argument("--steps", type=int, default=5)
+    parser.add_argument("--steps", type=int, default=10,
+                        help="timing-loop length N (marginal cost over "
+                             "T(2N)-T(N); larger = tighter estimate)")
     parser.add_argument("--refresh-baseline", action="store_true")
     parser.add_argument("--no-remat", action="store_true",
                         help="disable scan-body rematerialization")
