@@ -279,3 +279,114 @@ def test_warp_ret_bwd_matches_autodiff_interpret():
         pw._warpret_eligible = orig
     for r, q, name in zip(ref, got, ["d_iy", "d_ix", "d_img", "d_w", "d_bias"]):
         assert np.abs(np.asarray(r) - np.asarray(q)).max() < 1e-4, name
+
+
+# --------------------------------------------------------------------- #
+# Band-limited warp kernels (locality fast path)
+
+def _band_inputs(seed=13, h=16, w=16, c=8, b=2, L=3, r=2, wild_x=True):
+    r"""Inputs whose row offsets satisfy the band guard |iy - oy| <= R-1
+    (column indices stay unrestricted, incl. out-of-range)."""
+    rng = np.random.default_rng(seed)
+    P = h * w
+    oy = np.repeat(np.arange(h, dtype=np.float32), w)[None, None, :]
+    dy = (rng.random((b, L, P)) * 2.0 - 1.0) * (r - 1)
+    iy = jnp.asarray((oy + dy).astype(np.float32))
+    span = (w + 4, -2) if wild_x else (w - 1, 0)
+    ix = jnp.asarray((rng.random((b, L, P)) * span[0] + span[1]).astype(np.float32))
+    img = jnp.asarray(rng.random((b, h, w, c)).astype(np.float32))
+    return iy, ix, img
+
+
+def _with_band_geometry(pw, pt, r):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        orig = pw._PT, pw._BAND_R
+        pw._PT, pw._BAND_R = pt, r
+        try:
+            with _interpret_pallas():
+                yield
+        finally:
+            pw._PT, pw._BAND_R = orig
+    return ctx()
+
+
+def test_band_warp_fwd_matches_dense_interpret():
+    r"""Band forward kernel == onehot+einsum fallback when the row-offset
+    guard holds (PT=64 -> 4-row tiles, R=2 -> 8-row bands on a 16x16 img)."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    from vp_suite_tpu.ops.grid_sample import _onehot_factor
+    iy, ix, img = _band_inputs()
+    A = _onehot_factor(iy, img.shape[1], img.dtype)
+    Bm = _onehot_factor(ix, img.shape[2], img.dtype)
+    ref = pw._warp_contract_einsum(A, Bm, img).transpose(0, 1, 3, 2)
+    with _with_band_geometry(pw, 64, 2):
+        assert bool(pw._band_pred(iy, img.shape[2]))
+        got = pw._warp_sample_pallas_band(iy, ix, img)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
+
+
+def test_band_warp_bwd_matches_autodiff_interpret():
+    from vp_suite_tpu.ops import pallas_warp as pw
+    from vp_suite_tpu.ops.grid_sample import _onehot_factor
+    iy, ix, img = _band_inputs(seed=14)
+    rng = np.random.default_rng(15)
+    b, L, P = iy.shape
+    g = jnp.asarray(rng.random((b, L, img.shape[-1], P)).astype(np.float32))
+
+    def f(iy_, ix_, img_):
+        A = _onehot_factor(iy_, img_.shape[1], img_.dtype)
+        Bm = _onehot_factor(ix_, img_.shape[2], img_.dtype)
+        return pw._warp_contract_einsum(A, Bm, img_).transpose(0, 1, 3, 2)
+
+    _, vjp = jax.vjp(f, iy, ix, img)
+    ref = vjp(g)
+    with _with_band_geometry(pw, 64, 2):
+        got = pw._warp_sample_bwd_band(iy, ix, img, g)
+    for r, q, name in zip(ref, got, ["d_iy", "d_ix", "d_img"]):
+        assert np.abs(np.asarray(r) - np.asarray(q)).max() < 1e-4, name
+
+
+def test_band_pred_guard():
+    r"""The runtime guard: true within R-1 rows, false beyond or on NaN."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    iy, ix, img = _band_inputs(seed=16)
+    w = img.shape[2]
+    orig = pw._BAND_R
+    pw._BAND_R = 2
+    try:
+        assert bool(pw._band_pred(iy, w))
+        assert not bool(pw._band_pred(iy.at[0, 0, 5].add(3.0), w))
+        assert not bool(pw._band_pred(iy.at[0, 0, 5].set(jnp.nan), w))
+    finally:
+        pw._BAND_R = orig
+
+
+def test_warp_sample_cond_dispatch_interpret():
+    r"""Full warp_sample with the band geometry active: the lax.cond must
+    route small flows through the band kernels and large flows through the
+    dense kernels, both matching the einsum fallback."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    from vp_suite_tpu.ops.grid_sample import _onehot_factor
+
+    def ref_fn(iy_, ix_, img_):
+        A = _onehot_factor(iy_, img_.shape[1], img_.dtype)
+        Bm = _onehot_factor(ix_, img_.shape[2], img_.dtype)
+        return pw._warp_contract_einsum(A, Bm, img_).transpose(0, 1, 3, 2)
+
+    iy_s, ix, img = _band_inputs(seed=17)
+    iy_l = iy_s.at[1, 2, 37].add(7.0)   # violates the guard -> dense branch
+    orig_elig = pw._fused_eligible
+    pw._fused_eligible = lambda *a: True
+    try:
+        with _with_band_geometry(pw, 64, 2):
+            for iy in (iy_s, iy_l):
+                want = ref_fn(iy, ix, img)
+                got = jax.lax.cond(pw._band_pred(iy, img.shape[2]),
+                                   pw._warp_sample_pallas_band,
+                                   pw._warp_sample_pallas, iy, ix, img)
+                assert np.abs(np.asarray(want) - np.asarray(got)).max() < 1e-4
+    finally:
+        pw._fused_eligible = orig_elig

@@ -26,6 +26,7 @@ Reference behavior being accelerated: ``vp_suite/model_blocks/traj_gru.py:
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,16 @@ from jax.experimental import pallas as pl
 _PT = 256  # output-pixel tile (two 128-lane registers per op; fewer, larger programs)
 _PT_LEGACY = 128  # legacy prebuilt-factor kernels keep the 128 tile so pixel
 # counts divisible by 128 (but not 256) still hit the TPU path
+
+# Band-limited fast path: flow offsets are learned and in practice stay small
+# (a few pixels), while the dense kernels pay a full-image [H*W] contraction
+# per output tile. When every sample row offset |iy - oy| <= _BAND_R - 1 the
+# same warp touches only a (PT/W + 2R)-row band around each output tile — an
+# exact 2.7-3x FLOP cut at 64x64. A traced `lax.cond` guards the bound at
+# runtime and falls back to the dense kernels (e.g. for wild early-training
+# flows or NaNs), so numerics are identical either way.
+_BAND_R = int(os.environ.get("VPT_WARP_BAND_R", "8"))
+_BAND_ENABLED = os.environ.get("VPT_WARP_BAND", "1") != "0"
 
 
 # --------------------------------------------------------------------- #
@@ -153,6 +164,195 @@ def _fused_eligible(iy, img):
     return P % _PT == 0 and h * w == P and h <= 256
 
 
+# --------------------------------------------------------------------- #
+# Band-limited kernels (see _BAND_R note at the top). Identical math to the
+# fused kernels, but each program contracts only the image-row band
+# [start, start + band_rows) around its output tile, where
+# band_rows = PT/W + 2R and start = clip(tile_row0 - R, 0, H - band_rows).
+# Guard (checked by the caller's lax.cond): every |iy - oy| <= R - 1, which
+# together with the clip makes the band cover every in-range source row.
+# All reachable band offsets are 128-aligned in flattened pixels because
+# PT % 128 == 0 and (R*W) % 128 == 0 and band_px % 128 == 0 (static checks
+# in _band_possible), so the dynamic lane slices satisfy Mosaic.
+
+def _band_geom(W, PT):
+    out_rows = PT // W
+    band_rows = out_rows + 2 * _BAND_R
+    return out_rows, band_rows
+
+
+def _band_possible(iy, img):
+    r"""Static geometry check for the band kernels (P tiles = whole rows,
+    band fits in the image, dynamic lane offsets provably 128-aligned)."""
+    if not _BAND_ENABLED:
+        return False
+    h, w = img.shape[1], img.shape[2]
+    if _PT % w != 0:
+        return False
+    out_rows, band_rows = _band_geom(w, _PT)
+    return band_rows < h and (_BAND_R * w) % 128 == 0
+
+
+def _band_pred(iy, W):
+    r"""Traced bool: do ALL fractional row indices stay within R-1 rows of
+    their output row? NaN flows compare False -> dense fallback."""
+    P = iy.shape[-1]
+    oy = (jnp.arange(P, dtype=jnp.int32) // W).astype(jnp.float32)
+    dy = iy - oy[None, None, :]
+    r = float(_BAND_R)
+    return jnp.all((dy >= -(r - 1.0)) & (dy <= r - 1.0))
+
+
+def _band_start(pi, H, W, out_rows, band_rows):
+    start_row = jnp.clip(pi * out_rows - _BAND_R, 0, H - band_rows)
+    start_px = pl.multiple_of(start_row * W, 128)
+    return start_row, start_px
+
+
+def _factor_tile_band(i_frac, n_total, start_row, band_rows, dtype):
+    r"""Like ``_factor_tile`` but only for the rows
+    [start_row, start_row + band_rows); validity stays global."""
+    i0 = jnp.floor(i_frac)
+    w1 = i_frac - i0
+    w0 = 1.0 - w1
+    i1 = i0 + 1.0
+    v0 = (i0 >= 0) & (i0 <= n_total - 1)
+    v1 = (i1 >= 0) & (i1 <= n_total - 1)
+    iota = lax.broadcasted_iota(jnp.int32, (band_rows, i_frac.shape[-1]), 0) \
+        .astype(jnp.float32) + start_row.astype(jnp.float32)
+    fac = (w0 * v0)[None, :] * (iota == i0[None, :]) \
+        + (w1 * v1)[None, :] * (iota == i1[None, :])
+    return fac.astype(dtype)
+
+
+def _make_band_fwd_kernel(H, W):
+    def kernel(idx_ref, img_ref, out_ref):
+        PT = idx_ref.shape[-1]
+        out_rows, band_rows = _band_geom(W, PT)
+        start_row, start_px = _band_start(pl.program_id(2), H, W,
+                                          out_rows, band_rows)
+        a = _factor_tile_band(idx_ref[0, 0, 0, :], H, start_row, band_rows,
+                              img_ref.dtype)
+        bm = _factor_tile(idx_ref[0, 0, 1, :], W, img_ref.dtype)
+        m = (a[:, None, :] * bm[None, :, :]).reshape(band_rows * W, PT)
+        img_band = img_ref[0, :, pl.ds(start_px, band_rows * W)]
+        out_ref[0, 0] = jnp.dot(img_band, m,
+                                preferred_element_type=jnp.float32
+                                ).astype(out_ref.dtype)
+    return kernel
+
+
+def _make_band_dimg_kernel(H, W):
+    r"""Channel-major accumulated d_img: out [1, C, H*W] f32, zeroed on the
+    first (flow, tile) visit, then each program adds its band's contribution
+    through an aligned dynamic lane slice."""
+    def kernel(idx_ref, g_ref, dimg_ref):
+        PT = idx_ref.shape[-1]
+        out_rows, band_rows = _band_geom(W, PT)
+        start_row, start_px = _band_start(pl.program_id(2), H, W,
+                                          out_rows, band_rows)
+        a = _factor_tile_band(idx_ref[0, 0, 0, :], H, start_row, band_rows,
+                              g_ref.dtype)
+        bm = _factor_tile(idx_ref[0, 0, 1, :], W, g_ref.dtype)
+        m = (a[:, None, :] * bm[None, :, :]).reshape(band_rows * W, PT)
+        # contrib[c, q] = sum_p g[c, p] m[q, p]
+        contrib = lax.dot_general(g_ref[0, 0], m, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+        @pl.when(first)
+        def _zero():
+            dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
+
+        cur = dimg_ref[0, :, pl.ds(start_px, band_rows * W)]
+        dimg_ref[0, :, pl.ds(start_px, band_rows * W)] = cur + contrib
+    return kernel
+
+
+def _make_band_didx_kernel(H, W):
+    r"""Band version of ``_make_fused_didx_kernel``: the shared intermediate
+    ``t`` only spans the band's rows."""
+    def kernel(idx_ref, img_ref, g_ref, didx_ref):
+        PT = idx_ref.shape[-1]
+        out_rows, band_rows = _band_geom(W, PT)
+        start_row, start_px = _band_start(pl.program_id(2), H, W,
+                                          out_rows, band_rows)
+        iy = idx_ref[0, 0, 0, :]
+        ix = idx_ref[0, 0, 1, :]
+        a = _factor_tile_band(iy, H, start_row, band_rows, jnp.float32)
+        bm = _factor_tile(ix, W, jnp.float32)
+        img_band = img_ref[0, :, pl.ds(start_px, band_rows * W)]
+        # t[(band q), p] = sum_c img[c, q] g[c, p]
+        t = lax.dot_general(img_band, g_ref[0, 0], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        t = t.reshape(band_rows, W, -1)
+        d_a = jnp.sum(t * bm[None, :, :], axis=1)          # [band_rows, PT]
+        d_bm = jnp.sum(t * a[:, None, :], axis=0)          # [W, PT]
+
+        def d_frac(d_fac, i_frac, n, row0):
+            i0 = jnp.floor(i_frac)
+            i1 = i0 + 1.0
+            v0 = ((i0 >= 0) & (i0 <= n - 1)).astype(jnp.float32)
+            v1 = ((i1 >= 0) & (i1 <= n - 1)).astype(jnp.float32)
+            iota = lax.broadcasted_iota(jnp.int32, d_fac.shape, 0) \
+                .astype(jnp.float32) + row0
+            sel = (iota == i1[None, :]) * v1[None, :] \
+                - (iota == i0[None, :]) * v0[None, :]
+            return jnp.sum(d_fac * sel, axis=0)            # [PT]
+
+        didx_ref[0, 0, 0, :] = d_frac(d_a, iy, H, start_row.astype(jnp.float32))
+        didx_ref[0, 0, 1, :] = d_frac(d_bm, ix, W, jnp.float32(0.0))
+    return kernel
+
+
+def _warp_sample_pallas_band(iy, ix, img):
+    b, L, P = iy.shape
+    _, h, w, c = img.shape
+    idx = jnp.stack([iy, ix], axis=2)                      # [b, L, 2, P]
+    img2 = img.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    return pl.pallas_call(
+        _make_band_fwd_kernel(h, w),
+        grid=(b, L, P // _PT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, c, h * w), lambda bi, li, pi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        out_shape=jax.ShapeDtypeStruct((b, L, c, P), img.dtype),
+    )(idx, img2)
+
+
+def _warp_sample_bwd_band(iy, ix, img, g):
+    b, L, P = iy.shape
+    _, h, w, c = img.shape
+    idx = jnp.stack([iy, ix], axis=2)                      # [b, L, 2, P]
+    img2 = img.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    d_img_cm = pl.pallas_call(
+        _make_band_dimg_kernel(h, w),
+        grid=(b, L, P // _PT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        ],
+        out_specs=pl.BlockSpec((1, c, h * w), lambda bi, li, pi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, c, h * w), jnp.float32),
+    )(idx, g)
+    d_idx = pl.pallas_call(
+        _make_band_didx_kernel(h, w),
+        grid=(b, L, P // _PT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, c, h * w), lambda bi, li, pi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, _PT),
+                               lambda bi, li, pi: (bi, li, 0, pi)),
+        out_shape=jax.ShapeDtypeStruct((b, L, 2, P), jnp.float32),
+    )(idx, img2, g)
+    d_img = d_img_cm.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    return (d_idx[:, :, 0], d_idx[:, :, 1], d_img.astype(img.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def warp_sample(iy, ix, img):
     r"""Fused multi-flow bilinear warp from fractional sample indices.
@@ -179,6 +379,10 @@ def warp_sample(iy, ix, img):
 
 def _warp_sample_fwd_impl(iy, ix, img):
     if _fused_eligible(iy, img):
+        if _band_possible(iy, img):
+            return lax.cond(_band_pred(iy, img.shape[2]),
+                            _warp_sample_pallas_band, _warp_sample_pallas,
+                            iy, ix, img)
         return _warp_sample_pallas(iy, ix, img)
     from vp_suite_tpu.ops.grid_sample import _onehot_factor
     A = _onehot_factor(iy, img.shape[1], img.dtype)
@@ -211,39 +415,11 @@ def _warp_sample_bwd(res, g):
     r"""g arrives in the kernel-native [b, L, c, P] layout — no transpose."""
     iy, ix, img = res
     if _fused_eligible(iy, img):
-        b, L, P = iy.shape
-        _, h, w, c = img.shape
-        idx = jnp.stack([iy, ix], axis=2)                  # [b, L, 2, P]
-        img2 = img.transpose(0, 3, 1, 2).reshape(b, c, h * w)
-        g_t = g                                            # [b, L, c, P]
-        # NOTE: a merged dimg+didx kernel was tried (shared factor builds,
-        # halved launches) and REGRESSED 768 -> 1033 ms/step on the bench —
-        # the combined working set (m 2MB + t 4MB f32 + img + f32 acc block)
-        # defeats Mosaic's double buffering. Split kernels pipeline better.
-        d_img = pl.pallas_call(
-            _make_fused_dimg_kernel(h, w),
-            grid=(b, L, P // _PT),
-            in_specs=[
-                pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-                pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-            ],
-            out_specs=pl.BlockSpec((1, h * w, c), lambda bi, li, pi: (bi, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.float32),
-        )(idx, g_t)
-        d_idx = pl.pallas_call(
-            _make_fused_didx_kernel(h, w),
-            grid=(b, L, P // _PT),
-            in_specs=[
-                pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-                pl.BlockSpec((1, c, h * w), lambda bi, li, pi: (bi, 0, 0)),
-                pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, 2, _PT),
-                                   lambda bi, li, pi: (bi, li, 0, pi)),
-            out_shape=jax.ShapeDtypeStruct((b, L, 2, P), jnp.float32),
-        )(idx, img2, g_t)
-        return (d_idx[:, :, 0], d_idx[:, :, 1],
-                d_img.reshape(b, h, w, c).astype(img.dtype))
+        if _band_possible(iy, img):
+            return lax.cond(_band_pred(iy, img.shape[2]),
+                            _warp_sample_bwd_band, _warp_sample_bwd_dense,
+                            iy, ix, img, g)
+        return _warp_sample_bwd_dense(iy, ix, img, g)
 
     # fallback: autodiff through the factor construction + einsum VJP
     def f(iy_, ix_, img_):
@@ -253,6 +429,42 @@ def _warp_sample_bwd(res, g):
         return warp_contract(A, Bm, img_).transpose(0, 1, 3, 2)
     _, vjp = jax.vjp(f, iy, ix, img)
     return vjp(g)
+
+
+def _warp_sample_bwd_dense(iy, ix, img, g):
+    b, L, P = iy.shape
+    _, h, w, c = img.shape
+    idx = jnp.stack([iy, ix], axis=2)                  # [b, L, 2, P]
+    img2 = img.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    g_t = g                                            # [b, L, c, P]
+    # NOTE: a merged dimg+didx kernel was tried (shared factor builds,
+    # halved launches) and REGRESSED 768 -> 1033 ms/step on the bench —
+    # the combined working set (m 2MB + t 4MB f32 + img + f32 acc block)
+    # defeats Mosaic's double buffering. Split kernels pipeline better.
+    d_img = pl.pallas_call(
+        _make_fused_dimg_kernel(h, w),
+        grid=(b, L, P // _PT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        ],
+        out_specs=pl.BlockSpec((1, h * w, c), lambda bi, li, pi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.float32),
+    )(idx, g_t)
+    d_idx = pl.pallas_call(
+        _make_fused_didx_kernel(h, w),
+        grid=(b, L, P // _PT),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+            pl.BlockSpec((1, c, h * w), lambda bi, li, pi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, c, _PT), lambda bi, li, pi: (bi, li, 0, pi)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, _PT),
+                               lambda bi, li, pi: (bi, li, 0, pi)),
+        out_shape=jax.ShapeDtypeStruct((b, L, 2, P), jnp.float32),
+    )(idx, img2, g_t)
+    return (d_idx[:, :, 0], d_idx[:, :, 1],
+            d_img.reshape(b, h, w, c).astype(img.dtype))
 
 
 warp_sample.defvjp(_warp_sample_fwd, _warp_sample_bwd)
