@@ -104,13 +104,17 @@ class ConvLSTMShi(VPModelBlock):
                 i2h = i2h.reshape(b, seq_len, self.state_h, self.state_w, 4 * enc)
                 i2h_t = jnp.moveaxis(i2h, 1, 0)  # [t, b, sh, sw, 4enc]
         else:
-            i2h_t = jnp.broadcast_to(
-                bias.astype(h0.dtype),
-                (seq_len, b, self.state_h, self.state_w, 4 * enc))
+            # decode mode: no xs at all — materializing broadcast_to(bias,
+            # [t, b, sh, sw, 4enc]) as scan inputs costs a ~167 MB HBM write
+            # + per-step dynamic-slice reads (profiled ~8 ms/step on the
+            # flagship bench); the bias rides the per-step hidden conv instead
+            i2h_t = None
 
         def step(carry, i2h_step):
             h, c = carry
-            gates = i2h_step + conv2d(h, h_kernel, None, self.stride, self.padding)
+            step_bias = None if i2h_step is not None else bias
+            conv_h = conv2d(h, h_kernel, step_bias, self.stride, self.padding)
+            gates = conv_h if i2h_step is None else i2h_step + conv_h
             if self.remat_policy == "gates":
                 from jax.ad_checkpoint import checkpoint_name
                 gates = checkpoint_name(gates, "convlstm_gates")
@@ -134,6 +138,7 @@ class ConvLSTMShi(VPModelBlock):
             else:
                 step = jax.checkpoint(step)
         (h_last, c_last), outputs = lax.scan(step, (h0, c0), i2h_t,
+                                             length=seq_len,
                                              unroll=self.scan_unroll)
         if not self.time_major:
             outputs = jnp.moveaxis(outputs, 0, 1)  # [b, t, sh, sw, enc]
