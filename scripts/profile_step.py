@@ -16,7 +16,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def capture(model_id, img, ctx, pred, batch, steps, out_dir, remat=True):
+def capture(model_id, img, ctx, pred, batch, steps, out_dir, remat=True,
+            model_kwargs=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,7 +32,7 @@ def capture(model_id, img, ctx, pred, batch, steps, out_dir, remat=True):
     kwargs = dict(img_shape=(3, img, img), action_size=0,
                   tensor_value_range=(0.0, 1.0), compute_dtype=jnp.bfloat16,
                   remat=remat)
-    model = MODEL_CLASSES[model_id](**kwargs)
+    model = MODEL_CLASSES[model_id](**kwargs, **(model_kwargs or {}))
     run_config = {"context_frames": ctx, "pred_frames": pred, "use_actions": False}
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
@@ -117,10 +118,13 @@ def main():
                         help="profile without scan-body remat (remat regions "
                              "show up as opaque 'checkpoint' events; this "
                              "exposes the per-op breakdown)")
+    parser.add_argument("--model-kwarg", action="append", default=[],
+                        help="extra model kwarg as key=value (string values)")
     args = parser.parse_args()
+    mkw = dict(kv.split("=", 1) for kv in args.model_kwarg)
     if not args.summarize_only:
         capture(args.model, args.img, 5, 10, args.batch, args.steps, args.out,
-                remat=not args.no_remat)
+                remat=not args.no_remat, model_kwargs=mkw)
     summarize(args.out, args.top, steps=args.steps,
               strip_ids=not args.full_names)
 

@@ -46,7 +46,11 @@ class ConvLSTMShi(VPModelBlock):
     remat: bool = True        #: rematerialize the scan body in backward (HBM saver).
     remat_policy: str = "gates"  #: 'full' recomputes everything; 'gates' saves the
     #: per-step gate pre-activations so the backward pass skips the hidden-half
-    #: conv recompute (trades ~HBM for ~half the remat FLOPs).
+    #: conv recompute (trades ~HBM for ~half the remat FLOPs); 'scan_vjp' uses
+    #: the hand-written recurrence VJP (``ops/scan_vjp.py``) — same residuals
+    #: as 'gates' but with an explicit reverse-scan backward, skipping XLA's
+    #: checkpoint-buffer zero-inits/copies (profiled ~7 ms/step on the
+    #: flagship bench).
     scan_unroll: int = 1  #: lax.scan unroll factor — lets XLA fuse across steps
     #: at the cost of a bigger compiled program.
     time_major: bool = False  #: inputs/outputs are [t, b, ...] — skips the two
@@ -109,6 +113,16 @@ class ConvLSTMShi(VPModelBlock):
             # + per-step dynamic-slice reads (profiled ~8 ms/step on the
             # flagship bench); the bias rides the per-step hidden conv instead
             i2h_t = None
+
+        if (self.remat_policy == "scan_vjp" and not self.use_pallas
+                and self.scan_unroll == 1):
+            from vp_suite_tpu.ops.scan_vjp import convlstm_scan
+            outputs, (h_last, c_last) = convlstm_scan(
+                i2h_t, bias, h0, c0, h_kernel, wci, wcf, wco,
+                self.stride, self.padding, seq_len)
+            if not self.time_major:
+                outputs = jnp.moveaxis(outputs, 0, 1)
+            return outputs, (h_last, c_last)
 
         def step(carry, i2h_step):
             h, c = carry
