@@ -45,7 +45,15 @@ _PT_LEGACY = 128  # legacy prebuilt-factor kernels keep the 128 tile so pixel
 # runtime and falls back to the dense kernels (e.g. for wild early-training
 # flows or NaNs), so numerics are identical either way.
 _BAND_R = int(os.environ.get("VPT_WARP_BAND_R", "8"))
+# narrower images get a tighter radius: at W=32 the full R=8 band covers 75%
+# of the image (24/32 rows) — R=4 halves that while (R*W) % 128 still holds;
+# trained MMF flows at half resolution stay well inside |dy| <= 3
+_BAND_R_BY_W = {32: int(os.environ.get("VPT_WARP_BAND_R32", "4"))}
 _BAND_ENABLED = os.environ.get("VPT_WARP_BAND", "1") != "0"
+
+
+def _band_r(W):
+    return _BAND_R_BY_W.get(W, _BAND_R)
 
 
 # --------------------------------------------------------------------- #
@@ -177,7 +185,7 @@ def _fused_eligible(iy, img):
 
 def _band_geom(W, PT):
     out_rows = PT // W
-    band_rows = out_rows + 2 * _BAND_R
+    band_rows = out_rows + 2 * _band_r(W)
     return out_rows, band_rows
 
 
@@ -190,7 +198,7 @@ def _band_possible(iy, img):
     if _PT % w != 0:
         return False
     out_rows, band_rows = _band_geom(w, _PT)
-    return band_rows < h and (_BAND_R * w) % 128 == 0
+    return band_rows < h and (_band_r(w) * w) % 128 == 0
 
 
 def _band_pred(iy, W):
@@ -199,12 +207,12 @@ def _band_pred(iy, W):
     P = iy.shape[-1]
     oy = (jnp.arange(P, dtype=jnp.int32) // W).astype(jnp.float32)
     dy = iy - oy[None, None, :]
-    r = float(_BAND_R)
+    r = float(_band_r(W))
     return jnp.all((dy >= -(r - 1.0)) & (dy <= r - 1.0))
 
 
 def _band_start(pi, H, W, out_rows, band_rows):
-    start_row = jnp.clip(pi * out_rows - _BAND_R, 0, H - band_rows)
+    start_row = jnp.clip(pi * out_rows - _band_r(W), 0, H - band_rows)
     start_px = pl.multiple_of(start_row * W, 128)
     return start_row, start_px
 
