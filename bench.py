@@ -62,7 +62,7 @@ MODEL_PERF_CFG = {"predrnn-pp": {"remat": False}}
 
 def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bfloat16",
                  platform=None, remat=True, use_pallas=False, model_id="convlstm-shi",
-                 unroll=1, donate=True, model_kwargs=None):
+                 unroll=None, donate=True, model_kwargs=None):
     if remat:  # caller didn't force --no-remat; apply the per-model best
         remat = MODEL_PERF_CFG.get(model_id, {}).get("remat", remat)
     model_kwargs = {**MODEL_PERF_CFG.get(model_id, {}).get("model_kwargs", {}),
@@ -84,13 +84,14 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
                   tensor_value_range=(0.0, 1.0), compute_dtype=dtype, remat=remat)
     if model_id == "convlstm-shi":
         kwargs["use_pallas"] = use_pallas
-        kwargs["scan_unroll"] = unroll
+        if unroll is not None:
+            kwargs["scan_unroll"] = unroll
     if model_id == "unet-3d":
         kwargs["temporal_dim"] = min(ctx, 3)
     if model_id == "copy":
         kwargs = dict(img_shape=(3, img, img), action_size=0,
                       tensor_value_range=(0.0, 1.0))
-    model = MODEL_CLASSES[model_id](**kwargs, **model_kwargs)
+    model = MODEL_CLASSES[model_id](**{**kwargs, **model_kwargs})
     run_config = {"context_frames": ctx, "pred_frames": pred, "use_actions": False}
     trainable = model_id != "copy"
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
@@ -317,8 +318,9 @@ def main():
                         help="disable scan-body rematerialization")
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas gate kernel")
-    parser.add_argument("--unroll", type=int, default=1,
-                        help="lax.scan unroll factor for ConvLSTM cells")
+    parser.add_argument("--unroll", type=int, default=None,
+                        help="lax.scan unroll factor for ConvLSTM cells "
+                             "(default: the model's auto policy)")
     parser.add_argument("--model", default=None,
                         help="model registry id (BASELINE.json configs: "
                              "convlstm-shi on MM, predrnn-pp/unet-3d on KTH shapes, "
@@ -332,7 +334,7 @@ def main():
         return
 
     if args.model is None and not args.smoke and not args.pallas \
-            and args.unroll == 1:
+            and args.unroll is None:
         # Driver default: benchmark ALL five BASELINE.json configs so every
         # config is regression-tracked, but print exactly ONE JSON line (the
         # north-star ConvLSTM config) with the other configs' numbers embedded

@@ -51,12 +51,21 @@ class ConvLSTMShi(VPModelBlock):
     #: as 'gates' but with an explicit reverse-scan backward, skipping XLA's
     #: checkpoint-buffer zero-inits/copies (profiled ~7 ms/step on the
     #: flagship bench).
-    scan_unroll: int = 1  #: lax.scan unroll factor — lets XLA fuse across steps
-    #: at the cost of a bigger compiled program.
+    scan_unroll: int = 0  #: lax.scan unroll factor. 0 = auto: FULL unroll for
+    #: short sequences (<= 20 steps) — straight-line code has no while-loop
+    #: state buffers, so XLA skips their zero-inits/copies and the per-step
+    #: dynamic slices (flagship bench: 96.0 -> 93.3 ms/step) — and unroll=1
+    #: otherwise (PARTIAL unroll measured strictly worse: 99.5 ms at 8,
+    #: 104 ms at 2; it pays bigger programs without removing the loop).
     time_major: bool = False  #: inputs/outputs are [t, b, ...] — skips the two
     #: per-layer [b,t]<->[t,b] transposes around the scan (the EF stack runs
     #: time-major end to end; profiled ~13% of the flagship step was these
     #: copies).
+    hoist_i2h: bool = True  #: precompute the input-half conv for all steps as
+    #: one batched conv (default). False runs the torch-style fused
+    #: conv(concat([x, h])) per step instead — cheaper when ``in_channels``
+    #: is small relative to ``4*enc`` (the hoisted activations [t, b, sh, sw,
+    #: 4enc] then cost more HBM to stream than the conv costs to compute).
 
     @nn.compact
     def __call__(self, inputs, states, seq_len: int):
@@ -97,7 +106,14 @@ class ConvLSTMShi(VPModelBlock):
 
         # hoisted input-to-hidden conv over all timesteps at once (one big
         # MXU-friendly batched conv); bias folded into this half.
-        if inputs is not None:
+        # the un-hoisted (concat) form needs x and h on the same spatial grid
+        # (spatial axes are 2, 3 in both [t, b, ...] and [b, t, ...] layouts)
+        concat_ok = (inputs is not None and self.stride == 1
+                     and inputs.shape[2] == self.state_h
+                     and inputs.shape[3] == self.state_w)
+        hoist = inputs is not None and (self.hoist_i2h or not concat_ok)
+        raw_xs = inputs is not None and not hoist
+        if hoist:
             bt = inputs.shape[0] * inputs.shape[1]
             x_flat = inputs.reshape(bt, *inputs.shape[2:])
             i2h = conv2d(x_flat, x_kernel, bias, self.stride, self.padding)
@@ -107,6 +123,13 @@ class ConvLSTMShi(VPModelBlock):
             else:
                 i2h = i2h.reshape(b, seq_len, self.state_h, self.state_w, 4 * enc)
                 i2h_t = jnp.moveaxis(i2h, 1, 0)  # [t, b, sh, sw, 4enc]
+        elif raw_xs:
+            # un-hoisted: the scan consumes the RAW frames and each step runs
+            # the torch-style fused conv over concat([x, h]) — cheaper when
+            # in_channels << 4*enc (streaming the hoisted [t, b, sh, sw,
+            # 4enc] activations costs more HBM than the conv costs to
+            # compute; the concat conv also contracts over in+enc at once)
+            i2h_t = inputs if self.time_major else jnp.moveaxis(inputs, 1, 0)
         else:
             # decode mode: no xs at all — materializing broadcast_to(bias,
             # [t, b, sh, sw, 4enc]) as scan inputs costs a ~167 MB HBM write
@@ -115,7 +138,7 @@ class ConvLSTMShi(VPModelBlock):
             i2h_t = None
 
         if (self.remat_policy == "scan_vjp" and not self.use_pallas
-                and self.scan_unroll == 1):
+                and self.scan_unroll in (0, 1) and not raw_xs):
             from vp_suite_tpu.ops.scan_vjp import convlstm_scan
             outputs, (h_last, c_last) = convlstm_scan(
                 i2h_t, bias, h0, c0, h_kernel, wci, wcf, wco,
@@ -126,9 +149,13 @@ class ConvLSTMShi(VPModelBlock):
 
         def step(carry, i2h_step):
             h, c = carry
-            step_bias = None if i2h_step is not None else bias
-            conv_h = conv2d(h, h_kernel, step_bias, self.stride, self.padding)
-            gates = conv_h if i2h_step is None else i2h_step + conv_h
+            if raw_xs:
+                gates = conv2d(jnp.concatenate([i2h_step, h], axis=-1), kernel,
+                               bias, self.stride, self.padding)
+            else:
+                step_bias = None if i2h_step is not None else bias
+                conv_h = conv2d(h, h_kernel, step_bias, self.stride, self.padding)
+                gates = conv_h if i2h_step is None else i2h_step + conv_h
             if self.remat_policy == "gates":
                 from jax.ad_checkpoint import checkpoint_name
                 gates = checkpoint_name(gates, "convlstm_gates")
@@ -151,9 +178,13 @@ class ConvLSTMShi(VPModelBlock):
                         "convlstm_gates"))
             else:
                 step = jax.checkpoint(step)
+        if self.scan_unroll == 0:
+            unroll = seq_len if seq_len <= 20 else 1
+        else:
+            unroll = self.scan_unroll
         (h_last, c_last), outputs = lax.scan(step, (h0, c0), i2h_t,
                                              length=seq_len,
-                                             unroll=self.scan_unroll)
+                                             unroll=unroll)
         if not self.time_major:
             outputs = jnp.moveaxis(outputs, 0, 1)  # [b, t, sh, sw, enc]
         return outputs, (h_last, c_last)

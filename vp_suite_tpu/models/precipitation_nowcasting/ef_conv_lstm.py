@@ -53,7 +53,13 @@ class EF_ConvLSTM(EncoderForecasterBase):
     use_pallas: bool = False  #: route cell gates through the fused Pallas kernel.
     remat_policy: str = "gates"  #: cell remat policy ('full' | 'gates'; 'gates' saves
     #: per-step gate pre-activations: ~5%% faster backward, more HBM).
-    scan_unroll: int = 1  #: lax.scan unroll factor for the cell time loops.
+    scan_unroll: int = 0  #: cell time-loop unroll; 0 = auto (full unroll for
+    #: short sequences, see ``ConvLSTMShi.scan_unroll``).
+    hoist_i2h: bool = False  #: batch the cells' input-half convs over time
+    #: (see ``ConvLSTMShi.hoist_i2h``). Off by default: with auto-unrolled
+    #: scans the per-step torch-style concat conv measured faster on the
+    #: flagship bench (93.3 vs 94.5 ms) — the hoisted [t, b, sh, sw, 4enc]
+    #: activations cost more HBM to stream than the conv costs to compute.
 
     def _build_encoder_decoder(self):
         r"""Assembles conv specs + ConvLSTM blocks per stage
@@ -73,6 +79,7 @@ class EF_ConvLSTM(EncoderForecasterBase):
                 kernel_size=self.enc_rnn_k[n], stride=self.enc_rnn_s[n],
                 padding=self.enc_rnn_p[n], use_pallas=self.use_pallas,
                 remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
+                hoist_i2h=self.hoist_i2h,
                 time_major=True, name=f"enc_rnn{n+1}"))
             layer_in_c = layer_out_c
 
@@ -86,6 +93,7 @@ class EF_ConvLSTM(EncoderForecasterBase):
                 kernel_size=self.dec_rnn_k[n], stride=self.dec_rnn_s[n],
                 padding=self.dec_rnn_p[n], use_pallas=self.use_pallas,
                 remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
+                hoist_i2h=self.hoist_i2h,
                 time_major=True, name=f"dec_rnn{n+1}"))
             dec_conv_dict = {
                 self.dec_conv_names[n]: (layer_mid_c, layer_out_c, self.dec_conv_k[n],
