@@ -111,3 +111,14 @@ def make_conv_params(module, name, in_c, out_c, kernel_size, use_bias=True):
         fan_in = in_c * k[0] * k[1]
         bias = module.param(f"{name}_bias", torch_bias_init(fan_in), (out_c,))
     return kernel, bias
+
+
+def auto_unroll(scan_unroll, seq_len, cap=20):
+    r"""Resolves a model's ``scan_unroll`` knob: 0 = auto (FULL unroll for
+    short sequences — straight-line code lets XLA drop the while-loop state
+    buffers, their zero-inits/copies and per-step dynamic slices; measured
+    96.0 -> 93.3 ms on the flagship EF-ConvLSTM bench — and unroll=1
+    otherwise, since PARTIAL unroll measured strictly worse)."""
+    if scan_unroll == 0:
+        return seq_len if seq_len <= cap else 1
+    return scan_unroll

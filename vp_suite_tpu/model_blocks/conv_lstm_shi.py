@@ -178,13 +178,11 @@ class ConvLSTMShi(VPModelBlock):
                         "convlstm_gates"))
             else:
                 step = jax.checkpoint(step)
-        if self.scan_unroll == 0:
-            unroll = seq_len if seq_len <= 20 else 1
-        else:
-            unroll = self.scan_unroll
+        from vp_suite_tpu.model_blocks._functional import auto_unroll
         (h_last, c_last), outputs = lax.scan(step, (h0, c0), i2h_t,
                                              length=seq_len,
-                                             unroll=unroll)
+                                             unroll=auto_unroll(
+                                                 self.scan_unroll, seq_len))
         if not self.time_major:
             outputs = jnp.moveaxis(outputs, 0, 1)  # [b, t, sh, sw, enc]
         return outputs, (h_last, c_last)

@@ -68,6 +68,7 @@ class TrajGRU(VPModelBlock):
     act_slope: float = 0.2  #: LeakyReLU negative slope (reference Activation('leaky')).
     remat: bool = True      #: rematerialize the scan body in backward (HBM saver).
     time_major: bool = False  #: inputs/outputs are [t, b, ...] (see ConvLSTMShi).
+    scan_unroll: int = 1  #: time-loop unroll; 0 = auto (full for short seqs).
 
     @nn.compact
     def __call__(self, inputs, states, seq_len: int):
@@ -186,12 +187,15 @@ class TrajGRU(VPModelBlock):
                 "trajgru_flows", "warp_ret_warped")
             step_with_input = jax.checkpoint(step_with_input, policy=policy)
             step_decode = jax.checkpoint(step_decode, policy=policy)
+        from vp_suite_tpu.model_blocks._functional import auto_unroll
+        unroll = auto_unroll(self.scan_unroll, seq_len)
         if xs is not None:
-            next_h, outputs = lax.scan(step_with_input, states, (*xs, zo_masks))
+            next_h, outputs = lax.scan(step_with_input, states, (*xs, zo_masks),
+                                       unroll=unroll)
         else:
             next_h, outputs = lax.scan(step_decode, states, zo_masks,
                                        length=None if zo_masks is not None
-                                       else seq_len)
+                                       else seq_len, unroll=unroll)
         if not self.time_major:
             outputs = jnp.moveaxis(outputs, 0, 1)
         return outputs, next_h

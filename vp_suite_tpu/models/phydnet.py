@@ -51,6 +51,7 @@ class PhyDNet(VPModel):
 
     moment_loss_scale: float = 1.0
     teacher_forcing_decay: float = 0.003
+    scan_unroll: int = 1  #: time-loop unroll; 0 = auto (full for short seqs).
 
     @property
     def _enc_hw(self):
@@ -177,7 +178,9 @@ class PhyDNet(VPModel):
             step = jax.checkpoint(
                 step, policy=jax.checkpoint_policies.save_only_these_names(
                     "convlstm_gates"))
-        _, outs = lax.scan(step, (phy_h0, conv_h0, conv_c0, prev0), xs)
+        from vp_suite_tpu.model_blocks._functional import auto_unroll
+        _, outs = lax.scan(step, (phy_h0, conv_h0, conv_c0, prev0), xs,
+                           unroll=auto_unroll(self.scan_unroll, n_steps))
         outs = jnp.moveaxis(outs, 0, 1)  # [b, n_steps, h, w, c]
 
         if train:

@@ -58,6 +58,7 @@ class EF_TrajGRU(EncoderForecasterBase):
     final_conv_2_p: int = 0
 
     act_slope: float = 0.2
+    scan_unroll: int = 1  #: cell time-loop unroll; 0 = auto (full for short seqs).
 
     def _per_layer_params(self):
         r"""Excludes the (kernel-size-tuple) rnn params from plain length
@@ -84,7 +85,8 @@ class EF_TrajGRU(EncoderForecasterBase):
                 i2h_kernel=self.enc_rnn_i2h_k[n], i2h_stride=self.enc_rnn_i2h_s[n],
                 i2h_pad=self.enc_rnn_i2h_p[n], h2h_kernel=self.enc_rnn_h2h_k[n],
                 h2h_dilate=self.enc_rnn_h2h_d[n], act_slope=self.act_slope,
-                remat=self.remat, time_major=True, name=f"enc_rnn{n+1}"))
+                remat=self.remat, scan_unroll=self.scan_unroll,
+                time_major=True, name=f"enc_rnn{n+1}"))
             layer_in_c = layer_out_c
 
         dec_convs, dec_rnns = [], []
@@ -98,7 +100,8 @@ class EF_TrajGRU(EncoderForecasterBase):
                 i2h_kernel=self.dec_rnn_i2h_k[n], i2h_stride=self.dec_rnn_i2h_s[n],
                 i2h_pad=self.dec_rnn_i2h_p[n], h2h_kernel=self.dec_rnn_h2h_k[n],
                 h2h_dilate=self.dec_rnn_h2h_d[n], act_slope=self.act_slope,
-                remat=self.remat, time_major=True, name=f"dec_rnn{n+1}"))
+                remat=self.remat, scan_unroll=self.scan_unroll,
+                time_major=True, name=f"dec_rnn{n+1}"))
             dec_conv_dict = {
                 self.dec_conv_names[n]: (layer_mid_c, layer_out_c, self.dec_conv_k[n],
                                          self.dec_conv_s[n], self.dec_conv_p[n])

@@ -54,6 +54,8 @@ class PredRNN_V2(VPModel):
     conv_actions_on_input: bool = True
     residual_on_action_conv: bool = True
 
+    scan_unroll: int = 1  #: time-loop unroll; 0 = auto full unroll for
+    #: short sequences (see ``model_blocks._functional.auto_unroll``).
     reverse_input: bool = True
     decoupling_loss_scale: float = 100.0
     scheduled_sampling: bool = True
@@ -288,8 +290,10 @@ class PredRNN_V2(VPModel):
         if self.remat:
             step = jax.checkpoint(
                 step, policy=jax.checkpoint_policies.save_only_these_names("st_gates"))
+        from vp_suite_tpu.model_blocks._functional import auto_unroll
         (_, _, _, _, dl_sum), next_frames = lax.scan(
-            step, (h0, c0, memory0, x_gen0, jnp.float32(0.0)), xs)
+            step, (h0, c0, memory0, x_gen0, jnp.float32(0.0)), xs,
+            unroll=auto_unroll(self.scan_unroll, total_frames - 1))
 
         preds_patch = jnp.moveaxis(next_frames[-pred_frames:], 0, 1)  # [b, p, hp, wp, pc]
         predictions = unpatchify(preds_patch, self.patch_size)

@@ -40,6 +40,7 @@ class STPhy(VPModel):
 
     decoupling_loss_scale: float = 100.0
     moment_loss_scale: float = 1.0
+    scan_unroll: int = 1  #: time-loop unroll; 0 = auto (full for short seqs).
     teacher_forcing_decay: float = 0.003
 
     @property
@@ -172,7 +173,9 @@ class STPhy(VPModel):
         if self.remat:
             step = jax.checkpoint(
                 step, policy=jax.checkpoint_policies.save_only_these_names("st_gates"))
-        (_, _, _, _, _, dl_sum), outs = lax.scan(step, carry0, xs)
+        from vp_suite_tpu.model_blocks._functional import auto_unroll
+        (_, _, _, _, _, dl_sum), outs = lax.scan(
+            step, carry0, xs, unroll=auto_unroll(self.scan_unroll, n_steps))
         outs = jnp.moveaxis(outs, 0, 1)
 
         out_frames = outs if train else outs[:, context_frames - 1:]
