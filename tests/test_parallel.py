@@ -12,7 +12,9 @@ import pytest
 
 from vp_suite_tpu.models import MODEL_CLASSES
 from vp_suite_tpu.parallel.mesh import (make_mesh, shard_params, batch_sharding,
-                                        replicated_sharding)
+                                        replicated_sharding, make_mesh_nd,
+                                        factorize_mesh, video_batch_sharding,
+                                        shard_params_tp)
 from vp_suite_tpu.training.train_state import create_train_state
 from vp_suite_tpu.training.loop import make_train_step
 from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
@@ -20,11 +22,11 @@ from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
 IMG, CTX, PRED = 16, 2, 2
 
 
-def _setup(n_dev):
+def _setup(n_dev, opt="adam"):
     model = MODEL_CLASSES["convlstm-shi"](img_shape=(3, IMG, IMG), action_size=0,
                                           tensor_value_range=(0.0, 1.0))
     run_config = {"context_frames": CTX, "pred_frames": PRED, "use_actions": False}
-    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    optimizer = optax.inject_hyperparams(getattr(optax, opt))(learning_rate=1e-3)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
                                context_frames=CTX, pred_frames=PRED)
     loss_provider = PredictionLossProvider(
@@ -83,6 +85,155 @@ def test_data_parallel_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_factorize_mesh():
+    assert factorize_mesh(8) == {"data": 4, "sp": 1, "tp": 2}  # tp default
+    assert factorize_mesh(8, "sp") == {"data": 4, "sp": 2, "tp": 1}
+    assert factorize_mesh(2, "sp") == {"data": 1, "sp": 2, "tp": 1}
+    assert factorize_mesh(1) == {"data": 1, "sp": 1, "tp": 1}
+    assert factorize_mesh(7) == {"data": 7, "sp": 1, "tp": 1}  # prime -> pure DP
+    for n in (1, 2, 3, 4, 6, 7, 8):
+        for s in ("sp", "tp"):
+            ax = factorize_mesh(n, s)
+            assert np.prod(list(ax.values())) == n
+            assert not (ax["sp"] > 1 and ax["tp"] > 1)
+
+
+def _shard_state_and_batch_nd(mesh, state, batch_np):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    state = state.replace(params=shard_params_tp(state.params, mesh),
+                          opt_state=shard_params_tp(state.opt_state, mesh),
+                          extra_vars=shard_params(state.extra_vars, mesh))
+    frames_sh = video_batch_sharding(mesh)
+    act_sh = NamedSharding(mesh, P("data"))
+    device_batch = {"frames": jax.device_put(batch_np["frames"], frames_sh),
+                    "actions": jax.device_put(batch_np["actions"], act_sh)}
+    return state, device_batch
+
+
+def test_dp_tp_train_step_matches_single_device():
+    r"""One train step over a data x tp mesh (batch over 'data', conv
+    out-channels Megatron-style over 'tp') must match the single-device step
+    — GSPMD shardings may not change semantics. SGD (not Adam): Adam's
+    step-1 update is ~lr*sign(g), which would amplify a near-zero-gradient
+    reassociation sign flip to 2*lr; SGD keeps the param diff proportional
+    to the grad diff, which is what we assert."""
+    mesh = make_mesh_nd(factorize_mesh(4, "tp"))
+    model, state0, step, batch_np = _setup(2, opt="sgd")  # batch 4, data=2
+
+    db1 = {k: jax.device_put(v) for k, v in batch_np.items()}
+    s1, m1 = step(state0, db1, jnp.asarray(0.0))
+
+    state_sh, db_nd = _shard_state_and_batch_nd(mesh, state0, batch_np)
+    s_nd, m_nd = step(state_sh, db_nd, jnp.asarray(0.0))
+
+    assert abs(float(m1["total"]) - float(m_nd["total"])) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s_nd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_sp_forward_matches_single_device():
+    r"""The FORWARD/eval pass over a data x sp mesh (image height sharded;
+    XLA inserts the conv halo exchanges) must match single-device — this is
+    the inference-only contract for spatial meshes (training is guarded off,
+    see test_xla_sp_dkernel_doubling_is_still_present)."""
+    mesh = make_mesh_nd(factorize_mesh(4, "sp"))
+    model, state0, step, batch_np = _setup(2)
+
+    def fwd_loss(params, frames):
+        x, tgt = frames[:, :CTX], frames[:, CTX:]
+        preds, _ = model.apply({"params": params, **state0.extra_vars},
+                               x, pred_frames=PRED)
+        return jnp.mean((preds - tgt) ** 2)
+
+    fwd = jax.jit(fwd_loss)
+    ref = float(fwd(state0.params, jnp.asarray(batch_np["frames"])))
+    out = float(fwd(shard_params(state0.params, mesh),
+                    jax.device_put(batch_np["frames"],
+                                   video_batch_sharding(mesh))))
+    assert abs(ref - out) < 1e-4 * max(1.0, abs(ref))
+
+
+def test_xla_sp_dkernel_doubling_is_still_present():
+    r"""Pins the upstream XLA bug that makes spatial meshes inference-only:
+    training the EF-ConvLSTM graph with a spatially-sharded batch and
+    REPLICATED params doubles (factor = sp size) most conv d_kernels —
+    XLA all-gathers the activations for the kernel-grad conv, then still
+    all-reduces the 'partial' result over sp. Bias/peephole grads stay
+    exact, so the forward and dy are fine; only d_kernel is corrupted.
+    Minimal graphs (lone stride-2 conv, conv-in-remat-scan, conv_transpose)
+    do NOT trigger it. If this test FAILS, XLA fixed the bug — lift
+    check_train_mesh's sp guard and re-enable spatial training."""
+    from vp_suite_tpu.parallel.mesh import check_train_mesh
+    mesh = make_mesh_nd(factorize_mesh(4, "sp"))
+    with pytest.raises(ValueError, match="inference-only"):
+        check_train_mesh(mesh)
+
+    model, state0, step, batch_np = _setup(2, opt="sgd")
+    db1 = {k: jax.device_put(v) for k, v in batch_np.items()}
+    s1, _ = step(state0, db1, jnp.asarray(0.0))
+    state_sh, db_nd = _shard_state_and_batch_nd(mesh, state0, batch_np)
+    s_sp, _ = step(state_sh, db_nd, jnp.asarray(0.0))
+
+    max_d = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+                zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s_sp.params)))
+    assert max_d > 1e-5, (
+        f"sp-sharded train step now matches single-device (max|d|={max_d}) "
+        "— the XLA d_kernel doubling bug is fixed; lift the sp guard in "
+        "parallel/mesh.py check_train_mesh")
+
+
+def test_tp_actually_shards_gate_kernels():
+    mesh = make_mesh_nd(factorize_mesh(8, "tp"))
+    model, state0, step, batch_np = _setup(2)
+    params = shard_params_tp(state0.params, mesh)
+    shardings = {jax.tree_util.keystr(k): v.sharding
+                 for k, v in jax.tree_util.tree_leaves_with_path(params)}
+    sharded = [k for k, s in shardings.items() if not s.is_fully_replicated]
+    assert sharded, "expected at least one tp-sharded kernel"
+    for k in sharded:
+        assert shardings[k].spec[-1] == "tp"
+
+
+def test_sp_and_tp_together_is_refused():
+    r"""sp x tp on one mesh hits an XLA partitioner miscompile (see
+    parallel/mesh.py docstring); shard_params_tp must refuse it loudly
+    rather than return silently-wrong numerics."""
+    mesh = make_mesh_nd({"data": 2, "sp": 2, "tp": 2})
+    model, state0, *_ = _setup(2)
+    with pytest.raises(ValueError, match="miscompiles"):
+        shard_params_tp(state0.params, mesh)
+
+
+def test_xla_halo_tp_miscompile_is_still_present():
+    r"""Pins the upstream XLA bug that motivates the sp x tp guard: a 3x3
+    conv with input sharded over H ('sp') and kernel sharded over
+    out-channels ('tp') returns wrong values under BOTH classic GSPMD and
+    Shardy (jax 0.9.0, CPU backend; 1x1 kernels are exact). If this test
+    FAILS, XLA fixed the bug — lift the guard in shard_params_tp and allow
+    sp x tp meshes."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh_nd({"sp": 2, "tp": 2})
+    rng = np.random.RandomState(0)
+    x = rng.rand(4, 16, 16, 8).astype(np.float32)
+    k = rng.rand(3, 3, 8, 16).astype(np.float32)
+
+    def conv(x, k):
+        return lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ref = jax.jit(conv)(x, k)
+    out = jax.jit(conv)(
+        jax.device_put(x, NamedSharding(mesh, P(None, "sp", None, None))),
+        jax.device_put(k, NamedSharding(mesh, P(None, None, None, "tp"))))
+    err = float(jnp.max(jnp.abs(ref - out)))
+    assert err > 1.0, (
+        f"XLA sp x tp conv now exact (max|err|={err}) — the partitioner bug "
+        "is fixed; remove the sp x tp guard in parallel/mesh.py")
 
 
 def test_batch_not_divisible_raises():
