@@ -236,6 +236,58 @@ def test_xla_halo_tp_miscompile_is_still_present():
         "is fixed; remove the sp x tp guard in parallel/mesh.py")
 
 
+def test_fsdp_train_step_matches_single_device():
+    r"""ZeRO-style param/opt-state sharding over the data axis must not
+    change step semantics: XLA all-gathers weights at use sites and
+    reduce-scatters their grads (SGD for the same reason as the tp test)."""
+    from vp_suite_tpu.parallel.mesh import shard_params_fsdp
+    mesh = make_mesh(8)
+    model, state0, step, batch_np = _setup(8, opt="sgd")
+
+    db1 = {k: jax.device_put(v) for k, v in batch_np.items()}
+    s1, m1 = step(state0, db1, jnp.asarray(0.0))
+
+    state_sh = state0.replace(
+        params=shard_params_fsdp(state0.params, mesh, min_size=1024),
+        opt_state=shard_params_fsdp(state0.opt_state, mesh, min_size=1024),
+        extra_vars=shard_params(state0.extra_vars, mesh))
+    db8 = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch_np.items()}
+    s8, m8 = step(state_sh, db8, jnp.asarray(0.0))
+
+    assert abs(float(m1["total"]) - float(m8["total"])) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fsdp_shards_large_leaves_only():
+    from vp_suite_tpu.parallel.mesh import shard_params_fsdp
+    mesh = make_mesh(8)
+    model, state0, *_ = _setup(8)
+    params = shard_params_fsdp(state0.params, mesh, min_size=1024)
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    sharded = [(k, v) for k, v in leaves if not v.sharding.is_fully_replicated]
+    assert sharded, "expected large kernels sharded over the data axis"
+    for k, v in leaves:
+        if v.size < 1024:
+            assert v.sharding.is_fully_replicated, jax.tree_util.keystr(k)
+    # sharded leaves really hold 1/8th per device
+    k, v = sharded[0]
+    shard_size = v.addressable_shards[0].data.size
+    assert shard_size == v.size // 8
+
+
+def test_facade_fsdp_smoke():
+    r"""VPSuite.train(fsdp=True) end to end on the 8-device CPU mesh."""
+    from vp_suite_tpu import VPSuite
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("MMF", img_size=16, digit_source="synthetic", n_seqs=16)
+    suite.create_model("convlstm-shi")
+    suite.train(batch_size=8, num_devices=8, fsdp=True, context_frames=2,
+                pred_frames=2, epochs=1, steps_per_epoch=2, no_wandb=True,
+                no_vis=True)
+
+
 def test_batch_not_divisible_raises():
     from vp_suite_tpu import VPSuite
     suite = VPSuite(device="cpu")

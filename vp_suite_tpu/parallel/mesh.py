@@ -168,3 +168,32 @@ def shard_params_tp(params, mesh: Mesh, min_channels: int = 0):
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(place, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, axis: str = "data",
+                      min_size: int = 4096):
+    r"""ZeRO-style sharding of params / optimizer state over the DATA axis:
+    each leaf with >= ``min_size`` elements is sharded along its last
+    ``axis``-divisible dim; small leaves stay replicated (sharding them buys
+    no memory and adds collectives). Under ``jit``, XLA all-gathers a
+    sharded param right before its (replicated-layout) use and
+    reduce-scatters its gradient back — ZeRO-3 semantics from annotations
+    alone, no hand-written comm. Per-device HBM for params+optimizer drops
+    ~``axis_size`` x, which is what lets the b32 flagship config keep Adam
+    state for much larger models on one v5e core's 16 GB.
+
+    Unlike spatial sharding this keeps every conv's operands in safe
+    layouts (the compute itself runs on gathered, replicated-layout
+    weights), so it composes with the sp/tp guards above."""
+    n = mesh.shape.get(axis, 1) if axis in mesh.axis_names else 1
+
+    def place(x):
+        if n > 1 and hasattr(x, "ndim") and x.ndim >= 1 and x.size >= min_size:
+            for d in reversed(range(x.ndim)):
+                if x.shape[d] % n == 0:
+                    spec = [None] * x.ndim
+                    spec[d] = axis
+                    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, params)

@@ -363,6 +363,16 @@ class VPSuite:
         # mesh: leaving any leaf uncommitted makes the first train_step call
         # compile a second program once its outputs come back committed
         state = jax.device_put(state, replicated_sharding(mesh))
+        if run_config["fsdp"] and n_dev > 1:
+            # ZeRO-style: params + optimizer state sharded over the data
+            # axis (~n_dev x less state HBM per device); XLA all-gathers
+            # weights at use sites and reduce-scatters their grads
+            from vp_suite_tpu.parallel.mesh import shard_params_fsdp
+            state = state.replace(
+                params=shard_params_fsdp(state.params, mesh,
+                                         axis=run_config["data_axis"]),
+                opt_state=shard_params_fsdp(state.opt_state, mesh,
+                                            axis=run_config["data_axis"]))
         state = set_learning_rate(state, run_config["lr"])
 
         # losses + steps
