@@ -302,6 +302,40 @@ def run_all(args, emit=print):
     return lines
 
 
+def probe_device(platform=None, timeout_s=180):
+    r"""Fails fast (one JSON error line + exit 1) when the accelerator is
+    unreachable, instead of hanging the driver forever: the axon TPU tunnel
+    can go down, and jax calls then block indefinitely (no RPC deadline).
+    Runs a tiny dot in a daemon thread and waits ``timeout_s``."""
+    import threading
+    done = threading.Event()
+    err = []
+
+    def _try():
+        try:
+            import jax
+            if platform:
+                jax.config.update("jax_platforms", platform)
+            import jax.numpy as jnp
+            x = jnp.ones((128, 128))
+            float(np.asarray(jnp.dot(x, x).sum()))
+            done.set()
+        except Exception as e:  # noqa: BLE001 - report any backend failure
+            err.append(repr(e))
+            done.set()
+
+    t = threading.Thread(target=_try, daemon=True)
+    t.start()
+    if not done.wait(timeout_s) or err:
+        reason = err[0] if err else f"device unresponsive after {timeout_s}s"
+        print(json.dumps({
+            "metric": "ConvLSTM-Shi MovingMNIST 5ctx->10pred train frames/sec/chip",
+            "value": 0, "unit": "frames/sec", "vs_baseline": 0,
+            "error": f"accelerator probe failed: {reason}",
+        }), flush=True)
+        sys.exit(1)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny shapes, quick check")
@@ -328,6 +362,7 @@ def main():
                              "sweep, printed as ONE north-star line with the other "
                              "configs embedded + a BENCH_ALL.jsonl sidecar")
     args = parser.parse_args()
+    probe_device(args.platform)
 
     if args.all:
         run_all(args)
