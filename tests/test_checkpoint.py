@@ -48,6 +48,62 @@ def test_checkpoint_roundtrip_with_opt_state(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_orbax_roundtrip_preserves_sharded_state(tmp_path):
+    r"""Orbax backend: an FSDP-sharded TrainState saved on the 8-device mesh
+    restores with (a) identical values and (b) the SAME shardings — no
+    replicated detour through host RAM."""
+    from vp_suite_tpu.checkpoint.orbax_backend import (
+        save_checkpoint_orbax, restore_checkpoint_orbax)
+    from vp_suite_tpu.parallel.mesh import (make_mesh, shard_params,
+                                            shard_params_fsdp)
+    model, optimizer, state, step, batch, run_config = _setup()
+    state, _ = step(state, batch, jnp.asarray(0.0))
+    mesh = make_mesh(8)
+    state = state.replace(
+        params=shard_params_fsdp(state.params, mesh, min_size=1024),
+        opt_state=shard_params_fsdp(state.opt_state, mesh, min_size=1024),
+        extra_vars=shard_params(state.extra_vars, mesh))
+
+    save_checkpoint_orbax(tmp_path / "ckpt", state, "convlstm-shi",
+                          model.config, run_config)
+    restored = restore_checkpoint_orbax(tmp_path / "ckpt", state)
+
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(state.params),
+            jax.tree_util.tree_leaves_with_path(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        assert a.sharding == b.sharding, jax.tree_util.keystr(ka)
+    assert int(restored.step) == 1
+    # at least one leaf actually restored sharded (1/8th per device)
+    sharded = [v for v in jax.tree_util.tree_leaves(restored.params)
+               if not v.sharding.is_fully_replicated]
+    assert sharded and sharded[0].addressable_shards[0].data.size \
+        == sharded[0].size // 8
+
+
+def test_orbax_full_load_and_resume(tmp_path):
+    r"""load_checkpoint_orbax reconstructs model + state from disk alone and
+    training resumes identically (same contract as the msgpack backend)."""
+    from vp_suite_tpu.checkpoint.orbax_backend import (
+        save_checkpoint_orbax, load_checkpoint_orbax)
+    model, optimizer, state, step, batch, run_config = _setup()
+    s = state
+    for _ in range(2):
+        s, _ = step(s, batch, jnp.asarray(0.0))
+    save_checkpoint_orbax(tmp_path / "ckpt", s, "convlstm-shi", model.config,
+                          run_config)
+    s_direct, _ = step(s, batch, jnp.asarray(0.0))
+
+    model2, s_resumed, model_id = load_checkpoint_orbax(
+        tmp_path / "ckpt", run_config=run_config)
+    assert model_id == "convlstm-shi"
+    s_resumed, _ = step(s_resumed, batch, jnp.asarray(0.0))
+    for a, b in zip(jax.tree_util.tree_leaves(s_direct.params),
+                    jax.tree_util.tree_leaves(s_resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert int(s_direct.step) == int(s_resumed.step) == 3
+
+
 def test_resume_training_continues_identically(tmp_path):
     r"""Training 2 steps, checkpointing, then 1 more step must equal training
     3 uninterrupted steps (exact resume incl. rng/opt/schedule state)."""

@@ -130,7 +130,16 @@ class VPSuite:
         r"""Loads a checkpointed model (registry reconstruction; parity:
         ``vpsuite.py:125-137``)."""
         ckpt_dir = Path(model_dir) / ckpt_name if ckpt_name else Path(model_dir)
-        model, state, model_id = load_checkpoint(ckpt_dir)
+        backend = "msgpack"
+        cfg_path = ckpt_dir / "model_config.json"
+        if cfg_path.exists():
+            with open(cfg_path, "r") as f:
+                backend = json.load(f).get("backend", "msgpack")
+        if backend == "orbax":
+            from vp_suite_tpu.checkpoint.orbax_backend import load_checkpoint_orbax
+            model, state, model_id = load_checkpoint_orbax(ckpt_dir)
+        else:
+            model, state, model_id = load_checkpoint(ckpt_dir)
         entry = ModelEntry(model, state, model_id, model_dir=str(model_dir))
         self._model_setup(entry, loaded=True)
         return entry
@@ -375,6 +384,19 @@ class VPSuite:
                                             axis=run_config["data_axis"]))
         state = set_learning_rate(state, run_config["lr"])
 
+        # checkpoint backend: msgpack gathers to host 0; orbax writes each
+        # process's shards in place (multi-host + FSDP-friendly) and must be
+        # called from EVERY process
+        def _save_ckpt(path, st):
+            if run_config["ckpt_backend"] == "orbax":
+                from vp_suite_tpu.checkpoint.orbax_backend import \
+                    save_checkpoint_orbax
+                save_checkpoint_orbax(path, st, entry.model_id, model.config,
+                                      run_config)
+            elif is_main:
+                save_checkpoint(path, st, entry.model_id, model.config,
+                                run_config)
+
         # losses + steps
         loss_provider = PredictionLossProvider(config)
         if config["val_rec_criterion"] not in config["losses_and_scales"]:
@@ -500,18 +522,14 @@ class VPSuite:
                 if loss_improved(indicator_loss, best_val_loss):
                     best_val_loss = indicator_loss
                     entry.state = state
-                    if is_main:
-                        save_checkpoint(out_path / "best_model", state,
-                                        entry.model_id, model.config, run_config)
+                    _save_ckpt(out_path / "best_model", state)
                     print(f"Minimum indicator loss ({config['val_rec_criterion']}) "
                           f"reduced -> model saved!")
             else:
                 print("Skipping validation loop and simply saving current model "
                       "as the 'best' model.")
                 entry.state = state
-                if is_main:
-                    save_checkpoint(out_path / "best_model", state, entry.model_id,
-                                    model.config, run_config)
+                _save_ckpt(out_path / "best_model", state)
 
             if (epoch + 1) % config["vis_every"] == 0 and not config["no_vis"] \
                     and is_main:
@@ -529,9 +547,7 @@ class VPSuite:
 
         print("\nTraining done, cleaning up...")
         entry.state = state
-        if is_main:
-            save_checkpoint(out_path / "final_model", state, entry.model_id,
-                            model.config, run_config)
+        _save_ckpt(out_path / "final_model", state)
         logger.finish()
         return best_val_loss
 
