@@ -93,6 +93,7 @@ class DefaultRunConfig:
     num_devices: int = 0            #: 0 = use all local devices for data parallelism.
     fsdp: bool = False              #: ZeRO-style: shard params + optimizer state over the data axis (XLA all-gathers for compute, grads land reduce-scattered). Cuts per-device state HBM ~n_devices x.
     ckpt_backend: str = "msgpack"   #: "msgpack" (single-blob, host-0) or "orbax" (sharded tensorstore write per process; multi-host + FSDP-friendly).
+    accum_steps: int = 1            #: Gradient accumulation: split each batch into k microbatches, average grads, ONE optimizer update — full-batch gradient at 1/k activation memory.
     multihost: bool = False         #: Initialize jax.distributed and shard data per process (one process per host).
     prefetch_batches: int = 2       #: Host->device pipeline depth.
     steps_per_epoch: int = 0        #: 0 = full pass over the training set.

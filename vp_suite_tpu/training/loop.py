@@ -56,11 +56,21 @@ def _apply_model(model, params, extra_vars, x, *args, train=False, rngs=None, **
 
 
 def make_train_step(model: VPModel, run_config: dict, optimizer, loss_provider,
-                    use_jit: bool = True, donate: bool = True):
+                    use_jit: bool = True, donate: bool = True,
+                    accum_steps: int = 1):
     r"""Builds the jitted train step for a model's TRAIN_REGIME.
 
     Step signature: ``(state, batch, epoch) -> (state, metrics_dict)``.
     ``batch``: {'frames': [b, T, h, w, c], 'actions': [b, T, a]}.
+
+    ``accum_steps > 1`` = gradient accumulation: the batch is split into
+    ``k`` interleaved microbatches (sample ``j`` goes to microbatch
+    ``j % k``, so a data-sharded batch keeps every device evenly busy in
+    every microbatch), gradients are averaged in a ``lax.scan``, and ONE
+    optimizer update is applied — the mean-loss gradient of the full batch
+    at 1/k the activation memory. model_state (e.g. the scheduled-sampling
+    schedule) advances once per optimizer step, not per microbatch; mutable
+    collections (batch stats) come from the first microbatch.
     """
     ctx = run_config["context_frames"]
     pred = run_config["pred_frames"]
@@ -141,12 +151,50 @@ def make_train_step(model: VPModel, run_config: dict, optimizer, loss_provider,
                "teacher_forcing": teacher_forcing_loss_fn,
                "scheduled_sampling": scheduled_sampling_loss_fn}[regime]
 
+    def _accum_grads(state, batch, epoch, step_rng):
+        r"""k-microbatch gradient accumulation; returns the same tuple shape
+        as a single grad_fn call, with grads/losses averaged over k."""
+        k = accum_steps
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        b = batch["frames"].shape[0]
+        if b % k != 0:
+            raise ValueError(f"batch {b} not divisible by accum_steps {k}")
+        # [b, ...] -> [b/k, k, ...]: microbatch i takes samples j*k+i, an
+        # interleaving that preserves the 'data'-axis block layout of each
+        # device (no resharding, every device computes in every microbatch)
+        batch_r = {key: v.reshape((b // k, k) + v.shape[1:])
+                   for key, v in batch.items()}
+        rngs = jax.random.split(step_rng, k)
+        (t0, (lv0, new_vars, model_state)), g0 = grad_fn(
+            state.params, state.extra_vars,
+            {key: v[:, 0] for key, v in batch_r.items()},
+            rngs[0], state.model_state, epoch)
+
+        def body(carry, i):
+            g_acc, t_acc, lv_acc = carry
+            mb = {key: v[:, i] for key, v in batch_r.items()}
+            (t, (lv, _, _)), g = grad_fn(state.params, state.extra_vars, mb,
+                                         rngs[i], state.model_state, epoch)
+            return (jax.tree_util.tree_map(jnp.add, g_acc, g), t_acc + t,
+                    jax.tree_util.tree_map(jnp.add, lv_acc, lv)), None
+
+        (g_sum, t_sum, lv_sum), _ = jax.lax.scan(
+            body, (g0, t0, lv0), jnp.arange(1, k))
+        grads = jax.tree_util.tree_map(lambda x: x / k, g_sum)
+        total = t_sum / k
+        loss_values = jax.tree_util.tree_map(lambda x: x / k, lv_sum)
+        return (total, (loss_values, new_vars, model_state)), grads
+
     def train_step(state, batch, epoch):
         rng, step_rng = jax.random.split(state.rng)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (total, (loss_values, new_vars, model_state)), grads = grad_fn(
-            state.params, state.extra_vars, batch, step_rng, state.model_state,
-            epoch)
+        if accum_steps > 1:
+            (total, (loss_values, new_vars, model_state)), grads = _accum_grads(
+                state, batch, epoch, step_rng)
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (total, (loss_values, new_vars, model_state)), grads = grad_fn(
+                state.params, state.extra_vars, batch, step_rng,
+                state.model_state, epoch)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, extra_vars=new_vars,

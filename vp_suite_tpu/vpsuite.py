@@ -405,7 +405,8 @@ class VPSuite:
                              f"{list(config['losses_and_scales'].keys())}")
         use_jit = "fvd" not in config["losses_and_scales"]
         train_step = make_train_step(model, run_config, optimizer, loss_provider,
-                                     use_jit=use_jit)
+                                     use_jit=use_jit,
+                                     accum_steps=run_config["accum_steps"])
         eval_step = make_eval_step(model, run_config, loss_provider, use_jit=use_jit)
         predict_fn = make_predict_fn(model, run_config)
 
