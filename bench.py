@@ -302,11 +302,14 @@ def run_all(args, emit=print):
     return lines
 
 
-def probe_device(platform=None, timeout_s=180):
+def probe_device(platform=None, timeout_s=360, model_id=None):
     r"""Fails fast (one JSON error line + exit 1) when the accelerator is
     unreachable, instead of hanging the driver forever: the axon TPU tunnel
     can go down, and jax calls then block indefinitely (no RPC deadline).
-    Runs a tiny dot in a daemon thread and waits ``timeout_s``."""
+    Runs a tiny dot in a daemon thread and waits ``timeout_s`` — which must
+    exceed the remote compile server's worst case (~4 min for a cold cache,
+    CLAUDE.md), so the persistent compilation cache is enabled first and the
+    timeout leaves headroom above it."""
     import threading
     done = threading.Event()
     err = []
@@ -316,6 +319,8 @@ def probe_device(platform=None, timeout_s=180):
             import jax
             if platform:
                 jax.config.update("jax_platforms", platform)
+            from vp_suite_tpu.utils.utils import enable_compilation_cache
+            enable_compilation_cache()
             import jax.numpy as jnp
             x = jnp.ones((128, 128))
             float(np.asarray(jnp.dot(x, x).sum()))
@@ -328,8 +333,11 @@ def probe_device(platform=None, timeout_s=180):
     t.start()
     if not done.wait(timeout_s) or err:
         reason = err[0] if err else f"device unresponsive after {timeout_s}s"
+        metrics = dict(ALL_CONFIGS)
+        metric = metrics.get(model_id or "convlstm-shi",
+                             f"{model_id} train frames/sec/chip")
         print(json.dumps({
-            "metric": "ConvLSTM-Shi MovingMNIST 5ctx->10pred train frames/sec/chip",
+            "metric": metric,
             "value": 0, "unit": "frames/sec", "vs_baseline": 0,
             "error": f"accelerator probe failed: {reason}",
         }), flush=True)
@@ -362,7 +370,7 @@ def main():
                              "sweep, printed as ONE north-star line with the other "
                              "configs embedded + a BENCH_ALL.jsonl sidecar")
     args = parser.parse_args()
-    probe_device(args.platform)
+    probe_device(args.platform, model_id=args.model)
 
     if args.all:
         run_all(args)

@@ -65,20 +65,19 @@ def model_from_config(model_id: str, model_config: dict):
     return cls(**kwargs)
 
 
-def load_checkpoint(ckpt_dir, optimizer=None, run_config: dict = None):
-    r"""Loads (model, state, model_id) from a checkpoint directory.
-
-    A template TrainState is built from the stored config (and, when given,
-    the optimizer) so the serialized bytes restore with correct structure.
-    """
-    from vp_suite_tpu.training.train_state import create_train_state, TrainState
+def build_template_state(ckpt_dir, optimizer=None, run_config: dict = None):
+    r"""Shared by the msgpack and orbax backends: reconstructs the model via
+    the registry and builds a template TrainState with the stored run
+    config's shapes, so serialized bytes/shards restore with the correct
+    structure. Returns ``(model, template_state, model_id)``."""
+    from vp_suite_tpu.training.train_state import create_train_state
     ckpt_dir = Path(ckpt_dir)
     with open(ckpt_dir / "model_config.json", "r") as f:
         cfg = json.load(f)
     model = model_from_config(cfg["model_id"], cfg["model_config"])
 
     rc = run_config or {}
-    if rc is None and (ckpt_dir / "run_cfg.json").exists():
+    if not rc and (ckpt_dir / "run_cfg.json").exists():
         with open(ckpt_dir / "run_cfg.json", "r") as f:
             rc = json.load(f)
     import optax
@@ -90,6 +89,13 @@ def load_checkpoint(ckpt_dir, optimizer=None, run_config: dict = None):
         model, opt, jax.random.PRNGKey(0), batch_size=1,
         context_frames=rc.get("context_frames") if rc else None,
         pred_frames=rc.get("pred_frames", 1) if rc else 1)
-    with open(ckpt_dir / "checkpoint.msgpack", "rb") as f:
+    return model, template, cfg["model_id"]
+
+
+def load_checkpoint(ckpt_dir, optimizer=None, run_config: dict = None):
+    r"""Loads (model, state, model_id) from a msgpack checkpoint directory."""
+    model, template, model_id = build_template_state(ckpt_dir, optimizer,
+                                                     run_config)
+    with open(Path(ckpt_dir) / "checkpoint.msgpack", "rb") as f:
         state = flax.serialization.from_bytes(template, f.read())
-    return model, state, cfg["model_id"]
+    return model, state, model_id

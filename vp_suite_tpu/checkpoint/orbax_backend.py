@@ -20,14 +20,21 @@ from pathlib import Path
 
 import jax
 
-from vp_suite_tpu.checkpoint.checkpoint import _jsonable, model_from_config
+from vp_suite_tpu.checkpoint.checkpoint import _jsonable, build_template_state
 
 _STATE_DIR = "orbax_state"
+_CKPTR = None
 
 
 def _checkpointer():
-    import orbax.checkpoint as ocp
-    return ocp.StandardCheckpointer()
+    # one long-lived checkpointer: StandardCheckpointer owns async-write
+    # resources (background thread); constructing one per save leaks them
+    # over a long run and triggers orbax "was not closed" warnings
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
 
 
 def save_checkpoint_orbax(ckpt_dir, state, model_id: str, model_config: dict,
@@ -72,24 +79,8 @@ def restore_checkpoint_orbax(ckpt_dir, template_state):
 
 def load_checkpoint_orbax(ckpt_dir, optimizer=None, run_config: dict = None):
     r"""Full load (model + state) mirroring ``checkpoint.load_checkpoint``:
-    reconstructs the model through the registry, builds a template state,
-    and restores the orbax shards into it."""
-    from vp_suite_tpu.training.train_state import create_train_state
-    ckpt_dir = Path(ckpt_dir)
-    with open(ckpt_dir / "model_config.json", "r") as f:
-        cfg = json.load(f)
-    model = model_from_config(cfg["model_id"], cfg["model_config"])
-
-    rc = run_config or {}
-    if not rc and (ckpt_dir / "run_cfg.json").exists():
-        with open(ckpt_dir / "run_cfg.json", "r") as f:
-            rc = json.load(f)
-    import optax
-    opt = optimizer or optax.inject_hyperparams(optax.adam)(
-        learning_rate=rc.get("lr", 1e-4) if rc else 1e-4)
-    template = create_train_state(
-        model, opt, jax.random.PRNGKey(0), batch_size=1,
-        context_frames=rc.get("context_frames") if rc else None,
-        pred_frames=rc.get("pred_frames", 1) if rc else 1)
+    the shared template builder plus an orbax shard restore."""
+    model, template, model_id = build_template_state(ckpt_dir, optimizer,
+                                                     run_config)
     state = restore_checkpoint_orbax(ckpt_dir, template)
-    return model, state, cfg["model_id"]
+    return model, state, model_id

@@ -22,10 +22,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.6 exposes shard_map at the top level
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
+try:  # jax >= 0.6 exposes shard_map at the top level (check_vma kwarg)
+    from jax import shard_map as _raw_shard_map
+    _CHECK_KW = "check_vma"
+except ImportError:  # pragma: no cover - older jax (check_rep kwarg)
+    from jax.experimental.shard_map import shard_map as _raw_shard_map
+    _CHECK_KW = "check_rep"
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    return _raw_shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, **{_CHECK_KW: False})
 
 
 def stack_stage_params(params_list):
@@ -92,8 +99,7 @@ def gpipe_apply(stage_fn, stacked_params, x_mb, mesh: Mesh,
         return ys[S - 1:]
 
     p_specs = jax.tree_util.tree_map(lambda _: P(axis_name), stacked_params)
-    fn = _shard_map(worker, mesh=mesh, in_specs=(p_specs, P()),
-                    out_specs=P(), check_vma=False)
+    fn = _shard_map(worker, mesh, in_specs=(p_specs, P()), out_specs=P())
     return fn(stacked_params, x_mb)
 
 

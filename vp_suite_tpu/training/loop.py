@@ -161,25 +161,34 @@ def make_train_step(model: VPModel, run_config: dict, optimizer, loss_provider,
             raise ValueError(f"batch {b} not divisible by accum_steps {k}")
         # [b, ...] -> [b/k, k, ...]: microbatch i takes samples j*k+i, an
         # interleaving that preserves the 'data'-axis block layout of each
-        # device (no resharding, every device computes in every microbatch)
+        # device (no resharding — requires (b / n_devices) % k == 0, which
+        # VPSuite.train validates)
         batch_r = {key: v.reshape((b // k, k) + v.shape[1:])
                    for key, v in batch.items()}
         rngs = jax.random.split(step_rng, k)
-        (t0, (lv0, new_vars, model_state)), g0 = grad_fn(
-            state.params, state.extra_vars,
-            {key: v[:, 0] for key, v in batch_r.items()},
-            rngs[0], state.model_state, epoch)
+        mb0 = {key: v[:, 0] for key, v in batch_r.items()}
+        # zero accumulators with the right structure WITHOUT tracing the
+        # loss twice: eval_shape is trace-only (no compile, no execution)
+        out_shapes = jax.eval_shape(grad_fn, state.params, state.extra_vars,
+                                    mb0, rngs[0], state.model_state, epoch)
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), out_shapes)
+        (t0, (lv0, nv0, ms0)), g0 = zeros
 
         def body(carry, i):
-            g_acc, t_acc, lv_acc = carry
+            g_acc, t_acc, lv_acc, nv_acc, ms_acc = carry
             mb = {key: v[:, i] for key, v in batch_r.items()}
-            (t, (lv, _, _)), g = grad_fn(state.params, state.extra_vars, mb,
-                                         rngs[i], state.model_state, epoch)
+            (t, (lv, nv, ms)), g = grad_fn(state.params, state.extra_vars, mb,
+                                           rngs[i], state.model_state, epoch)
+            first = i == 0  # mutable collections / schedule from microbatch 0
+            pick = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(first, x, y), a, b)
             return (jax.tree_util.tree_map(jnp.add, g_acc, g), t_acc + t,
-                    jax.tree_util.tree_map(jnp.add, lv_acc, lv)), None
+                    jax.tree_util.tree_map(jnp.add, lv_acc, lv),
+                    pick(nv, nv_acc), pick(ms, ms_acc)), None
 
-        (g_sum, t_sum, lv_sum), _ = jax.lax.scan(
-            body, (g0, t0, lv0), jnp.arange(1, k))
+        (g_sum, t_sum, lv_sum, new_vars, model_state), _ = jax.lax.scan(
+            body, (g0, t0, lv0, nv0, ms0), jnp.arange(k))
         grads = jax.tree_util.tree_map(lambda x: x / k, g_sum)
         total = t_sum / k
         loss_values = jax.tree_util.tree_map(lambda x: x / k, lv_sum)

@@ -356,6 +356,12 @@ class VPSuite:
             n_requested = max(d for d in range(1, n_avail + 1) if batch_size % d == 0)
         mesh = make_mesh(n_requested, run_config["data_axis"], devices=self._devices())
         n_dev = mesh.devices.size
+        if run_config["accum_steps"] > 1 \
+                and (batch_size // n_dev) % run_config["accum_steps"] != 0:
+            raise ValueError(
+                f"per-device batch {batch_size // n_dev} not divisible by "
+                f"accum_steps {run_config['accum_steps']}: the interleaved "
+                "microbatch split would reshard the batch every step")
         if n_dev > 1:
             print(f"data-parallel training over {n_dev} devices")
         data_sharding = batch_sharding(mesh, run_config["data_axis"])
