@@ -1,0 +1,75 @@
+r"""AOT export/serving tests: the StableHLO artifact must reproduce the
+in-process predictions bit-for-bit and be loadable from bytes alone (no
+model class, no checkpoint on the serving side)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vp_suite_tpu.models import MODEL_CLASSES
+from vp_suite_tpu.serving import (export_predictor, save_predictor,
+                                  load_predictor)
+from vp_suite_tpu.training.train_state import create_train_state
+from vp_suite_tpu.training.loop import _apply_model
+
+IMG, CTX, PRED, B = 16, 2, 3, 2
+
+
+def _setup(model_id="convlstm-shi", **kw):
+    model = MODEL_CLASSES[model_id](img_shape=(3, IMG, IMG), action_size=0,
+                                    tensor_value_range=(0.0, 1.0), **kw)
+    optimizer = optax.adam(1e-3)
+    state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
+                               context_frames=CTX, pred_frames=PRED)
+    return model, state
+
+
+def test_export_roundtrip_matches_in_process(tmp_path):
+    model, state = _setup()
+    exported = export_predictor(model, state, CTX, PRED, batch_size=B)
+    path = save_predictor(exported, tmp_path / "predictor.stablehlo")
+    assert path.stat().st_size > 0
+
+    predict = load_predictor(path)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, CTX, IMG, IMG, 3), jnp.float32)
+
+    (ref, _), _ = _apply_model(model, state.params, state.extra_vars, x,
+                               pred_frames=PRED, train=False)
+    out = predict(x)
+    assert out.shape == (B, PRED, IMG, IMG, 3)
+    np.testing.assert_allclose(np.asarray(ref, np.float32), np.asarray(out),
+                               atol=1e-6)
+
+
+def test_export_needs_complete_input_model(tmp_path):
+    r"""NEEDS_COMPLETE_INPUT models (PredRNN) consume the full ctx+pred
+    window; the exported signature reflects that."""
+    model, state = _setup("predrnn-pp", num_layers=2, num_hidden=(8, 8))
+    exported = export_predictor(model, state, CTX, PRED, batch_size=B)
+    predict = load_predictor(save_predictor(exported, tmp_path / "p.stablehlo"))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(B, CTX + PRED, IMG, IMG, 3), jnp.float32)
+    out = predict(x)
+    assert out.shape[:2] == (B, PRED)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_facade_export(tmp_path):
+    from vp_suite_tpu import VPSuite
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("MMF", img_size=IMG, digit_source="synthetic", n_seqs=8)
+    suite.create_model("convlstm-shi")
+    path = suite.export_model(tmp_path / "m.stablehlo", context_frames=CTX,
+                              pred_frames=PRED, batch_size=1)
+    predict = load_predictor(path)
+    out = predict(jnp.zeros((1, CTX, IMG, IMG, 3), jnp.float32))
+    assert out.shape == (1, PRED, IMG, IMG, 3)
+
+
+def test_export_without_model_raises():
+    from vp_suite_tpu import VPSuite
+    suite = VPSuite(device="cpu")
+    with pytest.raises(ValueError, match="No model"):
+        suite.export_model("/tmp/x.stablehlo", context_frames=2, pred_frames=2)

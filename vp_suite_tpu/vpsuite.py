@@ -724,6 +724,21 @@ class VPSuite:
                                                      run_config, brief_test))
         return all_results
 
+    def export_model(self, out_path, context_frames: int, pred_frames: int,
+                     batch_size: int = 1, model_idx: int = -1):
+        r"""AOT-exports a model's inference path to one portable StableHLO
+        artifact (see ``vp_suite_tpu/serving/export.py``) — the TPU-native
+        replacement for the reference's whole-module pickle deployment
+        (``vp_suite/vpsuite.py:392-394``). The artifact is loadable with
+        ``serving.load_predictor`` on any host with jax alone."""
+        from vp_suite_tpu.serving import export_predictor, save_predictor
+        if not self.models:
+            raise ValueError("No model available to export")
+        entry = self.models[model_idx]
+        exported = export_predictor(entry.model, entry.state, context_frames,
+                                    pred_frames, batch_size=batch_size)
+        return save_predictor(exported, out_path)
+
 
 # ---------------------------------------------------------------------- #
 class _RunLogger:
