@@ -302,6 +302,52 @@ def run_all(args, emit=print):
     return lines
 
 
+def measure_e2e(args):
+    r"""End-to-end ``VPSuite.train`` throughput — what a USER gets from the
+    facade (data synthesis + host loop + device step), not the isolated
+    jitted step. North-star config on the MMF device-resident backend
+    (batches generated ON the accelerator from PRNG keys; the 1-core host
+    never touches frame data). Emits one JSON line; value = steady-state
+    (last-epoch) frames/s. The torch baseline IS end-to-end (its train loop
+    feeds a 4-worker DataLoader), so vs_baseline compares like for like."""
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    from vp_suite_tpu import VPSuite
+
+    smoke = args.smoke
+    img, ctx, pred = (16, 2, 2) if smoke else (64, 5, 10)
+    batch = 4 if smoke else 32
+    steps = 3 if smoke else 300
+    epochs = 2 if smoke else 3
+    suite = VPSuite()
+    suite.load_dataset("MMF", digit_source="synthetic", img_size=img,
+                       backend="device",
+                       n_seqs={"train": batch * steps, "val": batch,
+                               "test": batch})
+    suite.create_model("convlstm-shi", compute_dtype=jnp.bfloat16)
+    suite.train(epochs=epochs, batch_size=batch, context_frames=ctx,
+                pred_frames=pred, steps_per_epoch=steps, no_vis=True,
+                no_wandb=True, vis_every=10 ** 6)
+    fps = suite.models[-1].train_epoch_fps
+    value = fps[-1]  # steady state: first epoch pays compilation
+    baseline = (None if smoke
+                else get_torch_baseline(refresh=args.refresh_baseline,
+                                        model_id="convlstm-shi")
+                .get("torch_cpu_train_fps"))
+    line = {
+        "metric": "VPSuite.train end-to-end frames/sec (MMF device backend)",
+        "value": round(value, 2), "unit": "frames/sec",
+        "vs_baseline": round(value / baseline, 2) if baseline else 0.0,
+        "baseline": "PyTorch reference convlstm-shi full train loop on host CPU",
+        "detail": {"epoch_fps": [round(f, 1) for f in fps],
+                   "steps_per_epoch": steps, "batch": batch, "img": img},
+    }
+    print(json.dumps(line), flush=True)
+    return line
+
+
 def probe_device(platform=None, timeout_s=360, model_id=None):
     r"""Fails fast (one JSON error line + exit 1) when the accelerator is
     unreachable, instead of hanging the driver forever: the axon TPU tunnel
@@ -347,6 +393,10 @@ def probe_device(platform=None, timeout_s=360, model_id=None):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny shapes, quick check")
+    parser.add_argument("--e2e", action="store_true",
+                        help="measure end-to-end VPSuite.train throughput "
+                             "(facade + device-resident MMF synthesis) "
+                             "instead of the isolated jitted step")
     parser.add_argument("--all", action="store_true",
                         help="benchmark all five BASELINE.json configs "
                              "(one JSON line per config)")
@@ -371,6 +421,10 @@ def main():
                              "configs embedded + a BENCH_ALL.jsonl sidecar")
     args = parser.parse_args()
     probe_device(args.platform, model_id=args.model)
+
+    if args.e2e:
+        measure_e2e(args)
+        return
 
     if args.all:
         run_all(args)

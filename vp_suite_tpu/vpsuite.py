@@ -441,6 +441,7 @@ class VPSuite:
 
         training_timeout = time.time() + config["max_training_hours"] * 3600
         epochs_run = 0
+        entry.train_epoch_fps = []  # per-epoch e2e frames/s (bench --e2e reads this)
         for epoch in range(run_config["epochs"]):
             print(f"\nEpoch: {epoch + 1} of {config['epochs']}")
             epochs_run += 1
@@ -488,8 +489,9 @@ class VPSuite:
                 dt = time.time() - t0
                 frames_seen = n_steps * batch_size * (run_config["context_frames"]
                                                       + run_config["pred_frames"])
+                entry.train_epoch_fps.append(frames_seen / max(dt, 1e-9))
                 print(f"  trained {n_steps} steps in {dt:.1f}s "
-                      f"({frames_seen / max(dt, 1e-9):.1f} frames/s)")
+                      f"({entry.train_epoch_fps[-1]:.1f} frames/s)")
             else:
                 print("Skipping training loop.")
 
