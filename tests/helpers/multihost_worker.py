@@ -8,6 +8,7 @@ the 2-device global mesh) and dumps a parameter checksum so the parent can
 assert both processes ended with identical (synced) parameters.
 
 Usage: python multihost_worker.py <process_id> <coordinator_port> <out_dir>
+       [ckpt_backend]
 """
 import json
 import os
@@ -25,6 +26,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main():
     pid, port, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    ckpt_backend = sys.argv[4] if len(sys.argv) > 4 else "msgpack"
     from vp_suite_tpu.parallel.distributed import initialize_multihost
     initialize_multihost(coordinator_address=f"localhost:{port}",
                          num_processes=2, process_id=pid)
@@ -37,7 +39,8 @@ def main():
     suite.create_model("convlstm-shi")
     suite.train(out_dir=os.path.join(out_dir, "run"), epochs=1, batch_size=4,
                 context_frames=2, pred_frames=2, steps_per_epoch=2,
-                no_wandb=True, no_vis=True, metrics=["mse"])
+                no_wandb=True, no_vis=True, metrics=["mse"],
+                ckpt_backend=ckpt_backend)
 
     import numpy as np
     params = suite.models[0].state.params

@@ -319,11 +319,13 @@ def test_process_shard():
 
 
 @pytest.mark.slow
-def test_multihost_two_process_train(tmp_path):
+@pytest.mark.parametrize("ckpt_backend", ["msgpack", "orbax"])
+def test_multihost_two_process_train(tmp_path, ckpt_backend):
     r"""Real ``jax.distributed`` run: 2 spawned processes (1 CPU device each)
     train through the facade's multi-host path; parameters must end up
-    identical on both processes (implicit psum gradient sync) and only
-    process 0 writes checkpoints."""
+    identical on both processes (implicit psum gradient sync). msgpack:
+    only process 0 writes the blob. orbax: BOTH processes participate in
+    the sharded write and the artifact restores standalone."""
     import json
     import socket
     import subprocess
@@ -340,7 +342,7 @@ def test_multihost_two_process_train(tmp_path):
     repo_root = Path(__file__).parent.parent
     env["PYTHONPATH"] = f"{repo_root}:{repo_root / 'tests'}"
     procs = [subprocess.Popen([sys.executable, str(worker), str(pid), str(port),
-                               str(tmp_path)],
+                               str(tmp_path), ckpt_backend],
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)
              for pid in range(2)]
@@ -361,5 +363,15 @@ def test_multihost_two_process_train(tmp_path):
     assert results[0]["process_count"] == results[1]["process_count"] == 2
     assert results[0]["steps"] == results[1]["steps"] > 0
     assert abs(results[0]["checksum"] - results[1]["checksum"]) < 1e-5
-    # checkpoints written once, by process 0 only
+    # msgpack: written once by process 0; orbax: all processes write shards
     assert (tmp_path / "run" / "best_model").exists()
+    if ckpt_backend == "orbax":
+        ckpt = tmp_path / "run" / "best_model"
+        assert (ckpt / "orbax_state").exists()
+        # the sharded artifact restores standalone (single process, 8 devices)
+        from vp_suite_tpu.checkpoint.orbax_backend import load_checkpoint_orbax
+        model, state, model_id = load_checkpoint_orbax(ckpt)
+        assert model_id == "convlstm-shi"
+        leaves = jax.tree_util.tree_leaves(state.params)
+        checksum = float(sum(np.abs(np.asarray(p)).sum() for p in leaves))
+        assert abs(checksum - results[0]["checksum"]) < 1e-4
