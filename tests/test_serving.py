@@ -56,6 +56,24 @@ def test_export_needs_complete_input_model(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_export_bf16_compute_dtype(tmp_path):
+    r"""compute_dtype=bfloat16 bakes a mixed-precision serving graph; output
+    stays float32 and tracks the f32 export within bf16 tolerance."""
+    model, state = _setup()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(B, CTX, IMG, IMG, 3), jnp.float32)
+    f32 = load_predictor(save_predictor(
+        export_predictor(model, state, CTX, PRED, batch_size=B),
+        tmp_path / "f32.stablehlo"))(x)
+    bf16 = load_predictor(save_predictor(
+        export_predictor(model, state, CTX, PRED, batch_size=B,
+                         compute_dtype=jnp.bfloat16),
+        tmp_path / "bf16.stablehlo"))(x)
+    assert bf16.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(f32 - bf16))) < 0.05  # bf16 has ~3 digits
+    assert float(jnp.max(jnp.abs(f32 - bf16))) > 0.0  # really ran in bf16
+
+
 def test_facade_export(tmp_path):
     from vp_suite_tpu import VPSuite
     suite = VPSuite(device="cpu")

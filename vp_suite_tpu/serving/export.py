@@ -28,17 +28,22 @@ import jax.numpy as jnp
 
 
 def export_predictor(model, state, context_frames: int, pred_frames: int,
-                     batch_size: int = 1):
+                     batch_size: int = 1, compute_dtype=None):
     r"""Lowers the model's inference path to a ``jax.export.Exported``.
 
     The input signature is ``[batch_size, T, h, w, c]`` float32 frames with
     ``T = context_frames`` (+ ``pred_frames`` zero-padded frames for
     ``NEEDS_COMPLETE_INPUT`` models, which consume the full window shape);
-    output is the ``[batch_size, pred_frames, h, w, c]`` prediction. Params
-    and extra collections ride along as baked-in constants, so the artifact
-    is self-contained."""
+    output is the ``[batch_size, pred_frames, h, w, c]`` float32 prediction.
+    Params and extra collections ride along as baked-in constants, so the
+    artifact is self-contained. ``compute_dtype=jnp.bfloat16`` bakes a
+    mixed-precision serving graph (bf16 activations keep the TPU MXU at
+    full rate; I/O stays float32) regardless of how the model was
+    trained."""
     from vp_suite_tpu.training.loop import _apply_model
 
+    if compute_dtype is not None and model.compute_dtype != compute_dtype:
+        model = model.clone(compute_dtype=compute_dtype)
     c, h, w = model.img_shape
     t_in = context_frames + (pred_frames if model.NEEDS_COMPLETE_INPUT else 0)
     x_spec = jax.ShapeDtypeStruct((batch_size, t_in, h, w, c), jnp.float32)
