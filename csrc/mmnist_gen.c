@@ -44,6 +44,12 @@ static inline void move_axis(int *pos, int *speed, int img_size, int digit_size)
         p = -p;
         *speed = -*speed;
     }
+    /* a reflection can land past the OTHER edge when the free range
+     * (img - digit) is smaller than |speed| (e.g. 28px digits, 32px frame);
+     * without this clamp the blit below writes OUT OF BOUNDS. Mirrors the
+     * numpy path's np.clip. */
+    if (p < 0) p = 0;
+    if (p > img_size - digit_size) p = img_size - digit_size;
     *pos = p;
 }
 

@@ -91,3 +91,22 @@ def test_export_without_model_raises():
     suite = VPSuite(device="cpu")
     with pytest.raises(ValueError, match="No model"):
         suite.export_model("/tmp/x.stablehlo", context_frames=2, pred_frames=2)
+
+
+def test_facade_predict_api():
+    r"""suite.predict: direct array-in/array-out inference (batched and
+    single-sequence forms)."""
+    from vp_suite_tpu import VPSuite
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("MMF", img_size=IMG, digit_source="synthetic", n_seqs=8)
+    suite.create_model("convlstm-shi")
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, CTX, IMG, IMG, 3).astype(np.float32)
+    preds = suite.predict(x, pred_frames=PRED)
+    assert preds.shape == (2, PRED, IMG, IMG, 3)
+    single = suite.predict(x[0], pred_frames=PRED)
+    assert single.shape == (PRED, IMG, IMG, 3)
+    np.testing.assert_allclose(np.asarray(preds[0]), np.asarray(single),
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="context frames"):
+        suite.predict(x[:, :0], pred_frames=PRED)

@@ -64,6 +64,10 @@ def _simulate(key_pos, key_speed, batch, num_digits, seq_len, img_size,
         hi = nxt + digit_size > img_size          # far wall: clamp (reference
         lo = nxt < 0                              # quirk), near wall: mirror
         nxt = jnp.where(hi, img_size - digit_size, jnp.where(lo, -nxt, nxt))
+        # mirroring off the near wall can overshoot the far wall when the
+        # free range (img - digit) < |speed| — clamp, matching the numpy
+        # path's np.clip (parity test: tests/test_mmnist_device.py)
+        nxt = jnp.clip(nxt, 0, img_size - digit_size)
         speed = jnp.where(hi | lo, -speed, speed)
         return (nxt, speed), nxt
 

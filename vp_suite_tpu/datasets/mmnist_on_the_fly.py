@@ -215,6 +215,11 @@ class MovingMNISTOnTheFly(VPDataset):
             elif p < 0:
                 next_pos[i] = -1 * p
                 speed[i] = -1 * speed[i]
+        # when the free range (img - digit) is smaller than the speed, one
+        # reflection can land past the OTHER edge (e.g. 28px digits in a
+        # 32px frame) — the reference never hits this because it only runs
+        # 64x64 (mmnist_on_the_fly.py:133-147); clamp so any img_size works
+        np.clip(next_pos, 0, img_size - digit_size, out=next_pos)
         return speed, next_pos
 
     @classmethod

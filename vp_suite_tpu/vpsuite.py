@@ -726,6 +726,43 @@ class VPSuite:
                                                      run_config, brief_test))
         return all_results
 
+    def predict(self, frames, actions=None, pred_frames: int = None,
+                model_idx: int = -1):
+        r"""Direct inference convenience: ``frames`` ``[b, t, h, w, c]`` (or
+        a single ``[t, h, w, c]`` sequence) in the model's value range ->
+        ``[b, pred_frames, h, w, c]`` predictions. The reference only
+        exposes prediction through the test loop
+        (``vp_suite/vpsuite.py:461-626``); serving-style direct calls are a
+        TPU-build addition (jitted + cached per shape)."""
+        import jax.numpy as jnp
+        if not self.models:
+            raise ValueError("No model available for prediction")
+        entry = self.models[model_idx]
+        model = entry.model
+        pred_frames = pred_frames or 1
+        frames = jnp.asarray(frames, jnp.float32)
+        squeeze = frames.ndim == 4
+        if squeeze:
+            frames = frames[None]
+        ctx = frames.shape[1] - (pred_frames if model.NEEDS_COMPLETE_INPUT
+                                 else 0)
+        if ctx < (model.MIN_CONTEXT_FRAMES or 1):
+            raise ValueError(f"need at least {model.MIN_CONTEXT_FRAMES} "
+                             f"context frames, got {ctx}")
+        run_config = {"context_frames": ctx, "pred_frames": pred_frames,
+                      "use_actions": actions is not None}
+        predict_fn = make_predict_fn(model, run_config)
+        b, t = frames.shape[:2]
+        batch = {"frames": jnp.concatenate(
+                     [frames, jnp.zeros((b, ctx + pred_frames - t)
+                                        + frames.shape[2:], frames.dtype)],
+                     axis=1) if t < ctx + pred_frames else frames,
+                 "actions": (jnp.asarray(actions, jnp.float32)
+                             if actions is not None
+                             else jnp.zeros((b, ctx + pred_frames, 1)))}
+        preds, _ = predict_fn(entry.state, batch)
+        return preds[0] if squeeze else preds
+
     def export_model(self, out_path, context_frames: int, pred_frames: int,
                      batch_size: int = 1, model_idx: int = -1):
         r"""AOT-exports a model's inference path to one portable StableHLO
