@@ -37,6 +37,25 @@ def test_create_save_load_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_facade_resume_training(tmp_path):
+    r"""load_model -> train continues from the saved optimizer state and
+    step counter (true mid-training resume; the reference cannot — its
+    torch.save drops the optimizer, SURVEY.md §5.4)."""
+    suite = _fresh_suite(tmp_path)
+    suite.create_model("convlstm-shi")
+    suite.train(out_dir=str(tmp_path / "run"), no_vis=True, **RUN_KWARGS)
+    step_before = int(suite.models[0].state.step)
+    assert step_before > 0
+
+    suite2 = VPSuite(device="cpu")
+    suite2.load_dataset("MMF", **MMF_KWARGS)
+    suite2.load_model(str(tmp_path / "run"), "final_model")
+    assert int(suite2.models[0].state.step) == step_before
+    suite2.train(out_dir=str(tmp_path / "run2"), no_vis=True, **RUN_KWARGS)
+    assert int(suite2.models[0].state.step) == 2 * step_before
+
+
+@pytest.mark.slow
 def test_training_with_vis(tmp_path):
     suite = _fresh_suite(tmp_path)
     suite.create_model("lstm")
