@@ -26,10 +26,13 @@ def _train_once():
     return np.concatenate([np.asarray(p).ravel() for p in leaves])
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_training_bit_reproducible_with_native_backend():
     from vp_suite_tpu.native import native_available
     if not native_available():
-        import pytest
         pytest.skip("native mmnist generator not built")
     a = _train_once()
     b = _train_once()

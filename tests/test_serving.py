@@ -95,7 +95,7 @@ def test_export_without_model_raises():
 
 def test_facade_predict_api():
     r"""suite.predict: direct array-in/array-out inference (batched and
-    single-sequence forms)."""
+    single-sequence forms); the jitted predictor is cached per signature."""
     from vp_suite_tpu import VPSuite
     suite = VPSuite(device="cpu")
     suite.load_dataset("MMF", img_size=IMG, digit_source="synthetic", n_seqs=8)
@@ -108,5 +108,24 @@ def test_facade_predict_api():
     assert single.shape == (PRED, IMG, IMG, 3)
     np.testing.assert_allclose(np.asarray(preds[0]), np.asarray(single),
                                atol=1e-6)
+    # same (ctx, horizon) signature reuses one jitted predictor
+    assert len(suite.models[-1]._predict_fns) == 1
+    suite.predict(x, pred_frames=PRED + 1)
+    assert len(suite.models[-1]._predict_fns) == 2
     with pytest.raises(ValueError, match="context frames"):
         suite.predict(x[:, :0], pred_frames=PRED)
+
+
+def test_facade_predict_context_only_for_complete_input_models():
+    r"""Uniform semantics: predict() takes CONTEXT frames for every model;
+    NEEDS_COMPLETE_INPUT models (PredRNN) get the window zero-padded
+    internally, so the returned frames are the FUTURE horizon."""
+    from vp_suite_tpu import VPSuite
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("MMF", img_size=IMG, digit_source="synthetic", n_seqs=8)
+    suite.create_model("predrnn-pp", num_layers=2, num_hidden=(8, 8))
+    rng = np.random.RandomState(4)
+    x = rng.rand(1, CTX, IMG, IMG, 3).astype(np.float32)  # context ONLY
+    preds = suite.predict(x, pred_frames=PRED)
+    assert preds.shape == (1, PRED, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(preds)).all()

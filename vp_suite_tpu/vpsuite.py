@@ -728,12 +728,16 @@ class VPSuite:
 
     def predict(self, frames, actions=None, pred_frames: int = None,
                 model_idx: int = -1):
-        r"""Direct inference convenience: ``frames`` ``[b, t, h, w, c]`` (or
-        a single ``[t, h, w, c]`` sequence) in the model's value range ->
-        ``[b, pred_frames, h, w, c]`` predictions. The reference only
-        exposes prediction through the test loop
-        (``vp_suite/vpsuite.py:461-626``); serving-style direct calls are a
-        TPU-build addition (jitted + cached per shape)."""
+        r"""Direct inference convenience: CONTEXT ``frames`` ``[b, t, h, w,
+        c]`` (or a single ``[t, h, w, c]`` sequence) in the model's value
+        range -> ``[b, pred_frames, h, w, c]`` predictions of the FUTURE
+        frames ``t..t+pred_frames`` — uniformly for every model
+        (``NEEDS_COMPLETE_INPUT`` models get the window zero-padded, like
+        ``serving.export_predictor``). ``actions``, when given, must cover
+        ``t + pred_frames`` steps. The reference only exposes prediction
+        through the test loop (``vp_suite/vpsuite.py:461-626``); direct
+        calls are a TPU-build addition. The jitted predictor is cached on
+        the model entry per (context, horizon, actions) signature."""
         import jax.numpy as jnp
         if not self.models:
             raise ValueError("No model available for prediction")
@@ -744,38 +748,56 @@ class VPSuite:
         squeeze = frames.ndim == 4
         if squeeze:
             frames = frames[None]
-        ctx = frames.shape[1] - (pred_frames if model.NEEDS_COMPLETE_INPUT
-                                 else 0)
+        b, ctx = frames.shape[:2]
         if ctx < (model.MIN_CONTEXT_FRAMES or 1):
             raise ValueError(f"need at least {model.MIN_CONTEXT_FRAMES} "
                              f"context frames, got {ctx}")
-        run_config = {"context_frames": ctx, "pred_frames": pred_frames,
-                      "use_actions": actions is not None}
-        predict_fn = make_predict_fn(model, run_config)
-        b, t = frames.shape[:2]
-        batch = {"frames": jnp.concatenate(
-                     [frames, jnp.zeros((b, ctx + pred_frames - t)
-                                        + frames.shape[2:], frames.dtype)],
-                     axis=1) if t < ctx + pred_frames else frames,
-                 "actions": (jnp.asarray(actions, jnp.float32)
-                             if actions is not None
-                             else jnp.zeros((b, ctx + pred_frames, 1)))}
-        preds, _ = predict_fn(entry.state, batch)
+        total = ctx + pred_frames
+        if model.NEEDS_COMPLETE_INPUT:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((b, pred_frames) + frames.shape[2:],
+                                   frames.dtype)], axis=1)
+        if actions is not None:
+            actions = jnp.asarray(actions, jnp.float32)
+            if squeeze and actions.ndim == 2:
+                actions = actions[None]
+            if actions.shape[1] < total:
+                raise ValueError(f"actions must cover context + horizon "
+                                 f"({total} steps), got {actions.shape[1]}")
+            actions = actions[:, :total]
+        else:
+            actions = jnp.zeros((b, total, max(model.action_size, 1)),
+                                jnp.float32)
+
+        key = (ctx, pred_frames, bool(model.action_conditional))
+        cache = getattr(entry, "_predict_fns", None)
+        if cache is None:
+            cache = entry._predict_fns = {}
+        if key not in cache:
+            run_config = {"context_frames": ctx, "pred_frames": pred_frames,
+                          "use_actions": model.action_conditional}
+            cache[key] = make_predict_fn(model, run_config)
+        preds, _ = cache[key](entry.state, {"frames": frames,
+                                            "actions": actions})
         return preds[0] if squeeze else preds
 
     def export_model(self, out_path, context_frames: int, pred_frames: int,
-                     batch_size: int = 1, model_idx: int = -1):
+                     batch_size: int = 1, model_idx: int = -1,
+                     compute_dtype=None):
         r"""AOT-exports a model's inference path to one portable StableHLO
         artifact (see ``vp_suite_tpu/serving/export.py``) — the TPU-native
         replacement for the reference's whole-module pickle deployment
         (``vp_suite/vpsuite.py:392-394``). The artifact is loadable with
-        ``serving.load_predictor`` on any host with jax alone."""
+        ``serving.load_predictor`` on any host with jax alone.
+        ``compute_dtype=jnp.bfloat16`` bakes a mixed-precision serving
+        graph (I/O stays float32)."""
         from vp_suite_tpu.serving import export_predictor, save_predictor
         if not self.models:
             raise ValueError("No model available to export")
         entry = self.models[model_idx]
         exported = export_predictor(entry.model, entry.state, context_frames,
-                                    pred_frames, batch_size=batch_size)
+                                    pred_frames, batch_size=batch_size,
+                                    compute_dtype=compute_dtype)
         return save_predictor(exported, out_path)
 
 
