@@ -260,6 +260,41 @@ def test_fsdp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_tp_fsdp_2d_sharding_matches_single_device():
+    r"""Composed 2-D param sharding (out-channels over tp + one dim over
+    data, ZeRO-style) on a data x tp mesh must not change step semantics,
+    and big kernels must really live 1/(data*tp) per device."""
+    from vp_suite_tpu.parallel.mesh import shard_params_tp_fsdp
+    mesh = make_mesh_nd({"data": 4, "sp": 1, "tp": 2})
+    model, state0, step, batch_np = _setup(4, opt="sgd")  # batch 8, data=4
+
+    db1 = {k: jax.device_put(v) for k, v in batch_np.items()}
+    s1, m1 = step(state0, db1, jnp.asarray(0.0))
+
+    state_sh = state0.replace(
+        params=shard_params_tp_fsdp(state0.params, mesh, min_size=1024),
+        opt_state=shard_params_tp_fsdp(state0.opt_state, mesh, min_size=1024),
+        extra_vars=shard_params(state0.extra_vars, mesh))
+    db_nd = {"frames": jax.device_put(batch_np["frames"],
+                                      video_batch_sharding(mesh)),
+             "actions": jax.device_put(
+                 batch_np["actions"],
+                 jax.sharding.NamedSharding(
+                     mesh, jax.sharding.PartitionSpec("data")))}
+    s2, m2 = step(state_sh, db_nd, jnp.asarray(0.0))
+
+    assert abs(float(m1["total"]) - float(m2["total"])) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    two_d = [v for v in jax.tree_util.tree_leaves(state_sh.params)
+             if len([s for s in (v.sharding.spec or []) if s]) == 2]
+    assert two_d, "expected at least one leaf sharded over BOTH axes"
+    v = two_d[0]
+    assert v.addressable_shards[0].data.size == v.size // 8
+
+
 def test_fsdp_shards_large_leaves_only():
     from vp_suite_tpu.parallel.mesh import shard_params_fsdp
     mesh = make_mesh(8)

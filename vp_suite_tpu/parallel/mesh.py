@@ -170,6 +170,37 @@ def shard_params_tp(params, mesh: Mesh, min_channels: int = 0):
     return jax.tree_util.tree_map(place, params)
 
 
+def shard_params_tp_fsdp(params, mesh: Mesh, min_size: int = 4096):
+    r"""Composed 2-D parameter sharding on a data x tp mesh: the LAST dim
+    (out-channels) over ``tp`` (Megatron) AND, for large leaves, one other
+    dim over ``data`` (ZeRO) — per-device param/optimizer HBM drops
+    ~(data*tp) x. XLA all-gathers both axes at use sites and
+    reduce-scatters grads. Spatial-sharding-free, so none of the XLA
+    miscompiles above apply; proven step-equivalent in
+    ``tests/test_parallel.py``."""
+    names = mesh.axis_names
+    tp = mesh.shape.get("tp", 1) if "tp" in names else 1
+    sp = mesh.shape.get("sp", 1) if "sp" in names else 1
+    if tp > 1 and sp > 1:
+        raise ValueError("sp x tp is refused (see module docstring)")
+    data = mesh.shape.get("data", 1) if "data" in names else 1
+
+    def place(x):
+        if not (hasattr(x, "ndim") and x.ndim >= 1):
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        spec = [None] * x.ndim
+        if tp > 1 and x.shape[-1] % tp == 0 and x.shape[-1] >= tp:
+            spec[-1] = "tp"
+        if data > 1 and x.size >= min_size:
+            for d in reversed(range(x.ndim)):
+                if spec[d] is None and x.shape[d] % data == 0:
+                    spec[d] = "data"
+                    break
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(place, params)
+
+
 def shard_params_fsdp(params, mesh: Mesh, axis: str = "data",
                       min_size: int = 4096):
     r"""ZeRO-style sharding of params / optimizer state over the DATA axis:
