@@ -410,3 +410,15 @@ def test_multihost_two_process_train(tmp_path, ckpt_backend):
         leaves = jax.tree_util.tree_leaves(state.params)
         checksum = float(sum(np.abs(np.asarray(p)).sum() for p in leaves))
         assert abs(checksum - results[0]["checksum"]) < 1e-4
+
+
+def test_train_set_smaller_than_batch_raises():
+    r"""drop_last keeps one compiled step shape; a train set smaller than
+    the batch would silently train ZERO steps — must error instead."""
+    from vp_suite_tpu import VPSuite
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("MMF", img_size=16, digit_source="synthetic", n_seqs=4)
+    suite.create_model("copy")
+    with pytest.raises(ValueError, match="no batch would ever be formed"):
+        suite.train(batch_size=32, context_frames=2, pred_frames=2, epochs=1,
+                    no_wandb=True, no_vis=True)

@@ -419,6 +419,15 @@ class VPSuite:
         # uint8 host->device transfer (4x less tunnel/PCIe traffic) is exact
         # up to 1/510 for [0,1]-range data; dequantized on device
         uint8_ok = [float(v) for v in dataset.config["tensor_value_range"]] == [0.0, 1.0]
+        # drop_last=True keeps ONE compiled step shape (a ragged final batch
+        # would recompile the jitted step — minutes on the remote-compile
+        # TPU path; the torch reference trains the ragged batch instead)
+        if len(train_data) < local_bs:
+            raise ValueError(
+                f"training set has {len(train_data)} sequences but "
+                f"batch_size is {local_bs}: with the single-compiled-shape "
+                "loader (drop_last) no batch would ever be formed — lower "
+                "batch_size or provide more data")
         train_loader = BatchLoader(train_data, local_bs, shuffle=True,
                                    seed=run_config["seed"], drop_last=True,
                                    uint8_frames=uint8_ok)
