@@ -119,9 +119,19 @@ def main():
                              "show up as opaque 'checkpoint' events; this "
                              "exposes the per-op breakdown)")
     parser.add_argument("--model-kwarg", action="append", default=[],
-                        help="extra model kwarg as key=value (string values)")
+                        help="extra model kwarg as key=value (values parsed "
+                             "as python literals: False/2/'gates'/...)")
     args = parser.parse_args()
-    mkw = dict(kv.split("=", 1) for kv in args.model_kwarg)
+
+    def _parse_val(v):
+        import ast
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return v  # bare string (e.g. remat_policy=gates)
+
+    mkw = {k: _parse_val(v)
+           for k, v in (kv.split("=", 1) for kv in args.model_kwarg)}
     if not args.summarize_only:
         capture(args.model, args.img, 5, 10, args.batch, args.steps, args.out,
                 remat=not args.no_remat, model_kwargs=mkw)

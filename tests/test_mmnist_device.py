@@ -24,12 +24,23 @@ def _numpy_move(speed, pos, img_size, digit_size):
         elif p < 0:
             nxt[i] = -p
             speed[i] = -speed[i]
+    # post-mirror clamp, matching mmnist_on_the_fly._move_digit (a mirror
+    # can overshoot the other edge when img - digit < |speed|)
+    np.clip(nxt, 0, img_size - digit_size, out=nxt)
     return speed, nxt
 
 
-def test_physics_matches_numpy_reference_algorithm():
+import pytest
+
+
+@pytest.mark.parametrize("img_size,digit_size", [
+    (64, 28),   # reference geometry (free range >> speed; clamp is a no-op)
+    (32, 28),   # tight geometry: free range 4 < max speed 5 — the clamp
+                # path MUST fire and all backends must agree
+])
+def test_physics_matches_numpy_reference_algorithm(img_size, digit_size):
     kp, ks = jax.random.split(jax.random.PRNGKey(7))
-    b, d, t, s, ds = 3, 2, 25, 64, 28
+    b, d, t, s, ds = 3, 2, 25, img_size, digit_size
     traj = np.asarray(_simulate(kp, ks, b, d, t, s, ds, 2, 5))
     p0 = np.asarray(jax.random.randint(kp, (b, d, 2), 0, s - ds))
     s0 = np.asarray(_sample_speed(ks, (b, d, 2), 2, 5))
@@ -39,6 +50,7 @@ def test_physics_matches_numpy_reference_algorithm():
             for ti in range(t):
                 speed, pos = _numpy_move(speed, pos, s, ds)
                 assert np.array_equal(pos, traj[ti, bi, di])
+    assert (traj >= 0).all() and (traj <= s - ds).all()
 
 
 def test_speed_distribution_support():

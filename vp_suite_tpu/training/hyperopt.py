@@ -18,7 +18,7 @@ after ``n_startup`` random trials, each new suggestion for a parameter
 
 This is optuna's default algorithm minus the multivariate/prior refinements —
 enough to consistently beat random search on smooth objectives (see
-``tests/test_suite.py::test_tpe_beats_random_search``).
+``tests/test_hyperopt.py::test_tpe_beats_random_search_on_quadratic``).
 """
 import math
 

@@ -62,8 +62,12 @@ def _sub_jaxprs(eqn):
     if name == "while":
         return [(p["body_jaxpr"].jaxpr, 1), (p["cond_jaxpr"].jaxpr, 1)]
     if name == "cond":
-        # count the most expensive branch (branches are homogeneous here)
-        return [(max(p["branches"], key=lambda b: len(b.jaxpr.eqns)).jaxpr, 1)]
+        # branches can be heterogeneous (e.g. the band-limited vs dense warp
+        # kernels differ ~3x in FLOPs and which one runs is data-dependent):
+        # count the CHEAPEST branch so reported FLOPs/MFU are a lower bound
+        # ("at least this much useful work"), never an overstatement
+        return [(min(p["branches"],
+                     key=lambda b: count_jaxpr_flops(b.jaxpr)).jaxpr, 1)]
     if name == "pallas_call":
         return [(p["jaxpr"], _grid_size(eqn))]
     for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
