@@ -56,6 +56,24 @@ def test_export_needs_complete_input_model(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_export_batch_polymorphic(tmp_path):
+    r"""batch_size=None exports one artifact with a symbolic leading dim;
+    it must serve several batch sizes and match the in-process forward."""
+    model, state = _setup()
+    exported = export_predictor(model, state, CTX, PRED, batch_size=None)
+    predict = load_predictor(save_predictor(exported,
+                                            tmp_path / "poly.stablehlo"))
+    rng = np.random.RandomState(5)
+    for b in (1, 3):
+        x = jnp.asarray(rng.rand(b, CTX, IMG, IMG, 3), jnp.float32)
+        (ref, _), _ = _apply_model(model, state.params, state.extra_vars, x,
+                                   pred_frames=PRED, train=False)
+        out = predict(x)
+        assert out.shape == (b, PRED, IMG, IMG, 3)
+        np.testing.assert_allclose(np.asarray(ref, np.float32),
+                                   np.asarray(out), atol=1e-5)
+
+
 def test_export_bf16_compute_dtype(tmp_path):
     r"""compute_dtype=bfloat16 bakes a mixed-precision serving graph; output
     stays float32 and tracks the f32 export within bf16 tolerance."""

@@ -39,13 +39,19 @@ def export_predictor(model, state, context_frames: int, pred_frames: int,
     artifact is self-contained. ``compute_dtype=jnp.bfloat16`` bakes a
     mixed-precision serving graph (bf16 activations keep the TPU MXU at
     full rate; I/O stays float32) regardless of how the model was
-    trained."""
+    trained. ``batch_size=None`` exports a BATCH-POLYMORPHIC artifact
+    (symbolic leading dim): one file serves any batch size — the runtime
+    still compiles once per concrete batch it sees, so production TPU
+    serving should prefer a few fixed sizes."""
     from vp_suite_tpu.training.loop import _apply_model
 
     if compute_dtype is not None and model.compute_dtype != compute_dtype:
         model = model.clone(compute_dtype=compute_dtype)
     c, h, w = model.img_shape
     t_in = context_frames + (pred_frames if model.NEEDS_COMPLETE_INPUT else 0)
+    if batch_size is None:
+        from jax import export as _jexport
+        batch_size, = _jexport.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct((batch_size, t_in, h, w, c), jnp.float32)
     params, extra_vars = state.params, state.extra_vars
 
