@@ -74,6 +74,31 @@ def test_export_batch_polymorphic(tmp_path):
                                    np.asarray(out), atol=1e-5)
 
 
+def test_export_action_conditional(tmp_path):
+    r"""Action-conditional artifacts take (frames, actions) and must match
+    the in-process forward."""
+    model = MODEL_CLASSES["lstm"](img_shape=(3, IMG, IMG), action_size=2,
+                                  tensor_value_range=(0.0, 1.0),
+                                  action_conditional=True)
+    optimizer = optax.adam(1e-3)
+    state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
+                               context_frames=CTX, pred_frames=PRED)
+    exported = export_predictor(model, state, CTX, PRED, batch_size=B)
+    predict = load_predictor(save_predictor(exported, tmp_path / "ac.hlo"))
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(B, CTX, IMG, IMG, 3), jnp.float32)
+    a = jnp.asarray(rng.rand(B, CTX + PRED, 2), jnp.float32)
+    (ref, _), _ = _apply_model(model, state.params, state.extra_vars, x,
+                               pred_frames=PRED, train=False, actions=a)
+    out = predict(x, a)
+    assert out.shape == (B, PRED, IMG, IMG, 3)
+    np.testing.assert_allclose(np.asarray(ref, np.float32), np.asarray(out),
+                               atol=1e-5)
+    # actions actually matter: different actions -> different predictions
+    out2 = predict(x, a + 1.0)
+    assert float(jnp.max(jnp.abs(out - out2))) > 1e-6
+
+
 def test_export_bf16_compute_dtype(tmp_path):
     r"""compute_dtype=bfloat16 bakes a mixed-precision serving graph; output
     stays float32 and tracks the f32 export within bf16 tolerance."""

@@ -54,13 +54,28 @@ def export_predictor(model, state, context_frames: int, pred_frames: int,
         batch_size, = _jexport.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct((batch_size, t_in, h, w, c), jnp.float32)
     params, extra_vars = state.params, state.extra_vars
+    from jax import export as jexport
+
+    if model.action_conditional:
+        # action-conditional artifact signature: (frames, actions) with
+        # actions covering context + horizon steps
+        a_spec = jax.ShapeDtypeStruct(
+            (batch_size, context_frames + pred_frames,
+             max(model.action_size, 1)), jnp.float32)
+
+        def predict_ac(x, actions):
+            (preds, _), _ = _apply_model(model, params, extra_vars, x,
+                                         pred_frames=pred_frames,
+                                         train=False, actions=actions)
+            return preds.astype(jnp.float32)
+
+        return jexport.export(jax.jit(predict_ac))(x_spec, a_spec)
 
     def predict(x):
         (preds, _), _ = _apply_model(model, params, extra_vars, x,
                                      pred_frames=pred_frames, train=False)
         return preds.astype(jnp.float32)
 
-    from jax import export as jexport
     return jexport.export(jax.jit(predict))(x_spec)
 
 
@@ -73,13 +88,14 @@ def save_predictor(exported, path):
 
 
 def load_predictor(path):
-    r"""Deserializes a saved artifact into a callable ``frames -> preds``.
+    r"""Deserializes a saved artifact into a callable ``frames -> preds``
+    (``(frames, actions) -> preds`` for action-conditional artifacts).
     Needs only jax on the serving side — not this package or torch."""
     from jax import export as jexport
     exported = jexport.deserialize(bytearray(Path(path).read_bytes()))
 
-    def predict(frames):
-        return exported.call(frames)
+    def predict(*args):
+        return exported.call(*args)
 
     predict.exported = exported
     return predict
