@@ -261,6 +261,9 @@ ALL_CONFIGS = [
     # not a BASELINE.json config, but the repo's hardest kernel target —
     # regression-tracked alongside them (VERDICT r2 item #2)
     ("trajgru", "EF-TrajGRU MovingMNIST 5ctx->10pred train frames/sec/chip"),
+    # TPU-native extra: time-PARALLEL recurrence (associative_scan) — no
+    # reference analog, tracked to quantify the log-depth-context win
+    ("min-conv-rnn", "MinConvRNN MovingMNIST 5ctx->10pred train frames/sec/chip"),
 ]
 
 
@@ -276,6 +279,10 @@ def run_all(args, emit=print):
         if model_id == "copy":
             baseline = {"torch_cpu_train_fps": None,
                         "note": "eval-only baseline model, no torch train baseline",
+                        "baseline_model": model_id}
+        elif model_id == "min-conv-rnn":
+            baseline = {"torch_cpu_train_fps": None,
+                        "note": "TPU-native extra, no torch reference analog",
                         "baseline_model": model_id}
         else:
             baseline = get_torch_baseline(refresh=args.refresh_baseline,
