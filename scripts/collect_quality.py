@@ -7,7 +7,8 @@ import json
 import sys
 from pathlib import Path
 
-MODELS = ["convlstm-shi", "predrnn-pp", "phy", "unet-3d", "trajgru"]
+MODELS = ["convlstm-shi", "predrnn-pp", "phy", "unet-3d", "trajgru",
+          "min-conv-rnn"]
 METRIC_KEYS = [("mse (↓)", "mse"), ("psnr (↑)", "psnr"),
                ("ssim (↑)", "ssim"), ("lpips (↓)", "lpips_rf")]
 
