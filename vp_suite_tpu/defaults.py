@@ -96,6 +96,8 @@ class DefaultRunConfig:
     accum_steps: int = 1            #: Gradient accumulation: split each batch into k microbatches, average grads, ONE optimizer update — full-batch gradient at 1/k activation memory.
     multihost: bool = False         #: Initialize jax.distributed and shard data per process (one process per host).
     prefetch_batches: int = 2       #: Host->device pipeline depth.
+    hbm_cache: str = "auto"         #: "auto" stages the training set into device memory when it fits ``hbm_cache_mb`` (epochs then batch by device-side gather — the slow host leaves the hot path); "on" errors if it does not fit; "off" forces the host loader.
+    hbm_cache_mb: int = 2048        #: Device-memory budget (MB) for the staged training set.
     steps_per_epoch: int = 0        #: 0 = full pass over the training set.
     val_batch_size: int = 0         #: 0 = use batch_size (reference used 1; set 1 to reproduce exactly).
     log_every: int = 50             #: Console/JSONL metric logging cadence (steps).

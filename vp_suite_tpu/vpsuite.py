@@ -431,6 +431,35 @@ class VPSuite:
         train_loader = BatchLoader(train_data, local_bs, shuffle=True,
                                    seed=run_config["seed"], drop_last=True,
                                    uint8_frames=uint8_ok)
+        # device-memory cache for small file-backed datasets: stage every
+        # sequence into HBM once, then every epoch batches by device-side row
+        # gather (host per-step work = one [b]-int32 transfer) — the 1-core
+        # host can't feed the chip through the item-decode path (the torch
+        # reference leans on a 4-worker DataLoader, vpsuite.py:296-298).
+        # device-synthesised datasets (MMF backend="device") have their own
+        # generator; multi-host keeps per-process host shards.
+        hbm_cache = None
+        if (run_config["hbm_cache"] != "off" and with_training
+                and jax.process_count() == 1
+                # on-the-fly datasets synthesize fresh sequences per access —
+                # caching would silently freeze one epoch of data
+                and not getattr(train_data, "ON_THE_FLY", False)):
+            from vp_suite_tpu.training.data import (HBMCachedLoader,
+                                                    estimate_cache_bytes)
+            budget = run_config["hbm_cache_mb"] * 2 ** 20
+            est = estimate_cache_bytes(train_data, uint8_ok)
+            if est <= budget:
+                hbm_cache = HBMCachedLoader(
+                    train_data, local_bs, uint8_frames=uint8_ok,
+                    sharding=data_sharding if n_dev > 1 else None)
+                print(f"staged training set into device memory "
+                      f"({hbm_cache.nbytes / 2**20:.1f} MB, "
+                      f"{hbm_cache.n} sequences)")
+            elif run_config["hbm_cache"] == "on":
+                raise ValueError(
+                    f"hbm_cache='on' but the training set needs ~{est / 2**20:.0f} "
+                    f"MB > hbm_cache_mb={run_config['hbm_cache_mb']} — raise the "
+                    "budget or use hbm_cache='auto'/'off'")
         val_bs = run_config.get("val_batch_size", 0) or local_bs
         val_bs = max(1, min(val_bs, len(val_data)))
         val_loader = BatchLoader(val_data, batch_size=val_bs, shuffle=False,
@@ -475,6 +504,9 @@ class VPSuite:
                         local_bs, epoch_steps,
                         seed=run_config["seed"] * 9973 + epoch,
                         sharding=data_sharding if n_dev > 1 else None)
+                elif hbm_cache is not None:
+                    prefetched = hbm_cache.epoch_iterator(
+                        seed=run_config["seed"] * 9973 + epoch)
                 else:
                     from vp_suite_tpu.training.data import device_prefetch
                     prefetched = device_prefetch(
