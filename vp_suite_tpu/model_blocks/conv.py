@@ -31,22 +31,37 @@ class DoubleConv2d(VPModelBlock):
 
 
 class DoubleConv3d(VPModelBlock):
-    r"""UNet 3-D double conv over NDHWC (parity: ``conv.py:34-55``)."""
+    r"""UNet 3-D double conv over NDHWC (parity: ``conv.py:34-55``).
+
+    ``merged_time=td`` runs the TPU-first time-in-channels layout
+    (``[b, h, w, td*c]``, see :class:`~vp_suite_tpu.nn.layers.Conv3d`); the
+    BatchNorms normalize per TRUE channel by viewing the merged axis as
+    ``[td, c]`` for the reduction — identical statistics to the NDHWC form.
+    """
     NAME = "DoubleConv3d"
 
     in_channels: int
     out_channels: int
+    merged_time: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        td = self.merged_time
+
+        def bn(y, name):
+            layer = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name=name)
+            if not td:
+                return layer(y)
+            v = y.reshape(*y.shape[:-1], td, self.out_channels)
+            return layer(v).reshape(y.shape)
+
         x = Conv3d(self.out_channels, 3, 1, 1, use_bias=False,
-                   padding_mode="replicate", name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x)
-        x = jax.nn.relu(x)
+                   padding_mode="replicate", merged_time=td, name="conv1")(x)
+        x = jax.nn.relu(bn(x, "bn1"))
         x = Conv3d(self.out_channels, 3, 1, 1, use_bias=False,
-                   padding_mode="replicate", name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(x)
-        return jax.nn.relu(x)
+                   padding_mode="replicate", merged_time=td, name="conv2")(x)
+        return jax.nn.relu(bn(x, "bn2"))
 
 
 class DCGANConv(VPModelBlock):

