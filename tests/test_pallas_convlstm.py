@@ -1,0 +1,78 @@
+r"""Fused whole-scan ConvLSTM kernel vs the plain-JAX scan (interpret mode).
+
+``ops/pallas_convlstm.py`` keeps the (h, c) carry in VMEM across all
+timesteps and contracts the hidden conv as one im2col dot per gate. These
+tests pin forward equivalence against the reference scan math (the same
+recurrence ``ConvLSTMShi`` runs) in both decode mode (no inputs) and
+input-driven mode, on CPU via the Pallas interpreter.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vp_suite_tpu.ops.pallas_convlstm import convlstm_scan_fused
+
+
+def _ref_scan(i2h_t, h0, c0, h_kernel, bias, wci, wcf, wco, seq_len):
+    r"""Reference recurrence (mirrors ConvLSTMShi's step math)."""
+    from vp_suite_tpu.model_blocks._functional import conv2d
+
+    h, c = h0, c0
+    outs = []
+    for t in range(seq_len):
+        gates = conv2d(h, h_kernel, bias, 1, 1)
+        if i2h_t is not None:
+            gates = gates + i2h_t[t]
+        gi, gf, gc, go = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(gi + wci * c)
+        f = jax.nn.sigmoid(gf + wcf * c)
+        c = f * c + i * jnp.tanh(gc)
+        o = jax.nn.sigmoid(go + wco * c)
+        h = o * jnp.tanh(c)
+        outs.append(h)
+    return jnp.stack(outs), (h, c)
+
+
+def _setup(t=3, b=2, sh=8, sw=8, enc=4, with_x=True, seed=0):
+    rng = np.random.RandomState(seed)
+    f32 = jnp.float32
+    h0 = jnp.zeros((b, sh, sw, enc), f32)
+    c0 = jnp.zeros_like(h0)
+    h_kernel = jnp.asarray(rng.randn(3, 3, enc, 4 * enc) * 0.3, f32)
+    bias = jnp.asarray(rng.randn(4 * enc) * 0.1, f32)
+    wci, wcf, wco = (jnp.asarray(rng.randn(sh, sw, enc) * 0.1, f32)
+                     for _ in range(3))
+    i2h = jnp.asarray(rng.randn(t, b, sh, sw, 4 * enc) * 0.3, f32) \
+        if with_x else None
+    return i2h, h0, c0, h_kernel, bias, wci, wcf, wco
+
+
+@pytest.mark.parametrize("with_x", [False, True])
+def test_fused_scan_matches_reference(with_x):
+    t = 3
+    args = _setup(t=t, with_x=with_x)
+    ref_seq, (ref_h, ref_c) = _ref_scan(*args, seq_len=t)
+    with jax.default_matmul_precision("highest"):
+        h_seq, (h_last, c_last) = convlstm_scan_fused(*args, seq_len=t,
+                                                      interpret=True)
+    # kernel output is [T, b, ...] time-major
+    np.testing.assert_allclose(np.asarray(h_seq),
+                               np.asarray(ref_seq), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_last), np.asarray(ref_h), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_last), np.asarray(ref_c), atol=2e-5)
+
+
+def test_fused_scan_batch_independence():
+    r"""Each batch item's carry must reset at t=0 (grid order (b, T)):
+    permuting the batch permutes the outputs."""
+    t = 2
+    i2h, h0, c0, *rest = _setup(t=t, b=3)
+    with jax.default_matmul_precision("highest"):
+        out1, _ = convlstm_scan_fused(i2h, h0, c0, *rest, seq_len=t,
+                                      interpret=True)
+        out2, _ = convlstm_scan_fused(i2h[:, ::-1], h0, c0, *rest, seq_len=t,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out1[:, ::-1]), np.asarray(out2),
+                               atol=1e-6)
