@@ -8,7 +8,7 @@ import sys
 from pathlib import Path
 
 MODELS = ["convlstm-shi", "predrnn-pp", "phy", "unet-3d", "trajgru",
-          "min-conv-rnn"]
+          "lstm", "st-phy", "min-conv-rnn"]
 METRIC_KEYS = [("mse (↓)", "mse"), ("psnr (↑)", "psnr"),
                ("ssim (↑)", "ssim"), ("lpips (↓)", "lpips_rf")]
 
@@ -23,7 +23,7 @@ def tail_json(path):
 
 
 def main():
-    out_dir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/vpt_quality_r03")
+    out_dir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/vpt_quality_r04")
     rows = {}
     copy_row = None
     for model in MODELS:
@@ -54,7 +54,7 @@ def main():
                         "lpips_rf = random-feature LPIPS (no pretrained "
                         "AlexNet in this environment)",
               "models": rows, "copy_last_frame": copy_row}
-    out = Path(__file__).parent / "results_quality_r03.json"
+    out = Path(__file__).parent / "results_quality_r04.json"
     out.write_text(json.dumps(result, indent=2))
     print(f"wrote {out}")
 

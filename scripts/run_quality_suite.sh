@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 quality table: train every trainable model on the MMF north-star
+# Quality table: train every trainable model on the MMF north-star
 # config (5 ctx -> 10 pred, 64x64, batch 32, bf16, device-resident synthesis)
 # and test with mse/psnr/ssim/lpips-rf at the 5100-step budget used in round 2
 # (17 epochs x 300 steps).
@@ -7,13 +7,13 @@
 # Run models SEQUENTIALLY (1-core host; concurrent runs pollute each other):
 #   bash scripts/run_quality_suite.sh [outdir] [epochs] [steps]
 set -u
-OUT=${1:-/tmp/vpt_quality_r03}
+OUT=${1:-/tmp/vpt_quality_r04}
 EPOCHS=${2:-17}
 STEPS=${3:-300}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
-for MODEL in convlstm-shi predrnn-pp phy unet-3d trajgru; do
+for MODEL in convlstm-shi predrnn-pp phy unet-3d trajgru lstm st-phy min-conv-rnn; do
   echo "=== $MODEL ==="
   timeout 14000 python scripts/train_mmnist_demo.py \
       --model "$MODEL" --epochs "$EPOCHS" --steps "$STEPS" \

@@ -91,3 +91,26 @@ def test_indivisible_time_raises():
     f, u = _inputs(t=12)
     with pytest.raises(ValueError, match="must divide"):
         linear_recurrence_scan_sharded(f, u, mesh)
+
+
+def test_min_conv_rnn_context_parallel_matches():
+    r"""Model-level integration: MinConvRNN(context_mesh=seq-mesh) encodes
+    the context window with the TIME axis sharded over 8 devices and must
+    produce the same predictions as the single-device associative scan."""
+    from vp_suite_tpu.models import MODEL_CLASSES
+
+    mesh = make_mesh_nd({"seq": 8})
+    kwargs = dict(img_shape=(3, 16, 16), action_size=0,
+                  tensor_value_range=(0.0, 1.0), num_layers=2, hidden_dim=16)
+    base = MODEL_CLASSES["min-conv-rnn"](**kwargs)
+    par = MODEL_CLASSES["min-conv-rnn"](**kwargs, context_mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 8, 16, 16, 3), jnp.float32)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, pred_frames=2)
+    ref, _ = base.apply(variables, x, pred_frames=2)
+    out, _ = jax.jit(lambda v, x: par.apply(v, x, pred_frames=2))(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # context_mesh must stay out of the serializable model config
+    assert "context_mesh" not in par.config

@@ -85,7 +85,8 @@ class VPModel(nn.Module):
         for f in self.__dataclass_fields__:
             # flax's dataclass transform also registers ClassVar constants as
             # fields; skip them (uppercase) plus flax-internal fields
-            if f in ("parent", "name") or f.isupper():
+            if f in ("parent", "name") or f.isupper() \
+                    or f in self.NON_CONFIG_VARS:
                 continue
             v = getattr(self, f)
             if f == "compute_dtype":

@@ -57,8 +57,16 @@ class MinConvRNN(VPModel):
     MATCHES_REFERENCE = "N/A (no reference analog; TPU-native extra)"
     CAN_HANDLE_ACTIONS = False
 
+    NON_CONFIG_VARS = VPModel.NON_CONFIG_VARS + ["context_mesh"]
+
     num_layers: int = 2
     hidden_dim: int = 64
+    context_mesh: object = None  #: a Mesh with a 'seq' axis: the CONTEXT
+    #: window's time dimension shards over it (``ops/scan_parallel`` —
+    #: blockwise associative scan + one aggregate all_gather per layer).
+    #: The recurrence is associative, so this is exact; everything else in
+    #: the context pass is frame-parallel and shards with it. The reference
+    #: cannot express this axis at all (strictly sequential time loops).
 
     @nn.compact
     def __call__(self, x, pred_frames: int = 1, actions=None,
@@ -106,7 +114,15 @@ class MinConvRNN(VPModel):
             zf = z.reshape((t_in * b,) + z.shape[2:])
             f, u = gates(zf, fk, fb, gk, gb)
             shape = (t_in, b) + z.shape[2:]
-            h = linear_recurrence_scan(f.reshape(shape), u.reshape(shape))
+            if self.context_mesh is not None and t_in % \
+                    self.context_mesh.shape.get("seq", t_in + 1) == 0:
+                from vp_suite_tpu.ops.scan_parallel import \
+                    linear_recurrence_scan_sharded
+                h = linear_recurrence_scan_sharded(
+                    f.reshape(shape), u.reshape(shape), self.context_mesh,
+                    axis="seq")
+            else:
+                h = linear_recurrence_scan(f.reshape(shape), u.reshape(shape))
             h_lasts.append(h[-1])
             out = conv2d(h.reshape((t_in * b,) + z.shape[2:]), ok, ob, 1, 0)
             z = z + out.reshape(shape)
