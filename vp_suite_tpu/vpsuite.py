@@ -438,7 +438,7 @@ class VPSuite:
         # reference leans on a 4-worker DataLoader, vpsuite.py:296-298).
         # device-synthesised datasets (MMF backend="device") have their own
         # generator; multi-host keeps per-process host shards.
-        hbm_cache = None
+        hbm_cache = val_hbm_cache = None
         if (run_config["hbm_cache"] != "off" and with_training
                 and jax.process_count() == 1
                 # on-the-fly datasets synthesize fresh sequences per access —
@@ -455,6 +455,17 @@ class VPSuite:
                 print(f"staged training set into device memory "
                       f"({hbm_cache.nbytes / 2**20:.1f} MB, "
                       f"{hbm_cache.n} sequences)")
+                # the (small) validation set hits the same 1-core host
+                # bottleneck every epoch — cache it within the same budget
+                if (len(val_data)
+                        and estimate_cache_bytes(val_data, uint8_ok)
+                        <= budget - hbm_cache.nbytes):
+                    val_bs0 = run_config.get("val_batch_size", 0) or local_bs
+                    val_bs0 = max(1, min(val_bs0, len(val_data)))
+                    val_hbm_cache = HBMCachedLoader(
+                        val_data, val_bs0, uint8_frames=uint8_ok,
+                        sharding=data_sharding
+                        if (n_dev > 1 and val_bs0 % n_dev == 0) else None)
             elif run_config["hbm_cache"] == "on":
                 raise ValueError(
                     f"hbm_cache='on' but the training set needs ~{est / 2**20:.0f} "
@@ -555,8 +566,13 @@ class VPSuite:
                         f"{jax.local_device_count()} local devices in "
                         f"multi-host mode")
                 from vp_suite_tpu.training.data import device_prefetch as _prefetch
-                for device_batch in _prefetch(val_loader, sharding=val_sharding,
-                                              depth=1):
+                if val_hbm_cache is not None:
+                    val_iter = val_hbm_cache.epoch_iterator(seed=0,
+                                                            shuffle=False)
+                else:
+                    val_iter = _prefetch(val_loader, sharding=val_sharding,
+                                         depth=1)
+                for device_batch in val_iter:
                     agg.append(eval_step(state, device_batch))
                 if not agg:
                     raise RuntimeError("validation set is empty")
