@@ -134,7 +134,10 @@ class UNet3D(VPModel):
         cur = x
         for t in range(pred_frames):
             if self.action_conditional:
-                act_window = actions[:, t:input_length + t]
+                # reference parity (unet3d.py:124-128): pred_1 always slices
+                # actions[:, T_in-td:T_in] of the FULL tensor — the action
+                # window does NOT advance with the autoregressive shift
+                act_window = actions[:, :input_length]
             else:
                 act_window = None
             pred = self.pred_1(cur, actions=act_window, train=train)
