@@ -142,8 +142,12 @@ class STPhy(VPModel):
             next_input = g * enc_t + (1.0 - g) * x_gen
 
             if self.action_conditional:
+                # the inflate output vector is interpreted CHANNEL-major
+                # ((iad, h, w), torch .view semantics — st_phy.py:141) so the
+                # linear's weight stays torch-checkpoint-mappable
                 ac = (a_t.astype(next_input.dtype) @ ai_k.astype(next_input.dtype)) \
-                    .reshape(-1, eh, ew, self.inflated_action_dim)
+                    .reshape(-1, self.inflated_action_dim, eh, ew) \
+                    .transpose(0, 2, 3, 1)
                 inflated_action = (conv2d(ac, ah_k, None, 1, (2, 0))
                                    + conv2d(ac, aw_k, None, 1, (0, 2)))
 
