@@ -35,11 +35,15 @@ def _ref_scan(i2h_t, h0, c0, h_kernel, bias, wci, wcf, wco, seq_len):
     return jnp.stack(outs), (h, c)
 
 
-def _setup(t=3, b=2, sh=8, sw=8, enc=4, with_x=True, seed=0):
+def _setup(t=3, b=2, sh=8, sw=8, enc=4, with_x=True, seed=0, with_state=False):
     rng = np.random.RandomState(seed)
     f32 = jnp.float32
-    h0 = jnp.zeros((b, sh, sw, enc), f32)
-    c0 = jnp.zeros_like(h0)
+    if with_state:
+        h0 = jnp.asarray(rng.randn(b, sh, sw, enc) * 0.3, f32)
+        c0 = jnp.asarray(rng.randn(b, sh, sw, enc) * 0.3, f32)
+    else:
+        h0 = jnp.zeros((b, sh, sw, enc), f32)
+        c0 = jnp.zeros_like(h0)
     h_kernel = jnp.asarray(rng.randn(3, 3, enc, 4 * enc) * 0.3, f32)
     bias = jnp.asarray(rng.randn(4 * enc) * 0.1, f32)
     wci, wcf, wco = (jnp.asarray(rng.randn(sh, sw, enc) * 0.1, f32)
@@ -49,10 +53,11 @@ def _setup(t=3, b=2, sh=8, sw=8, enc=4, with_x=True, seed=0):
     return i2h, h0, c0, h_kernel, bias, wci, wcf, wco
 
 
-@pytest.mark.parametrize("with_x", [False, True])
-def test_fused_scan_matches_reference(with_x):
+@pytest.mark.parametrize("with_x,with_state", [(False, False), (True, False),
+                                               (False, True), (True, True)])
+def test_fused_scan_matches_reference(with_x, with_state):
     t = 3
-    args = _setup(t=t, with_x=with_x)
+    args = _setup(t=t, with_x=with_x, with_state=with_state)
     ref_seq, (ref_h, ref_c) = _ref_scan(*args, seq_len=t)
     with jax.default_matmul_precision("highest"):
         h_seq, (h_last, c_last) = convlstm_scan_fused(*args, seq_len=t,
@@ -62,6 +67,28 @@ def test_fused_scan_matches_reference(with_x):
                                np.asarray(ref_seq), atol=2e-5)
     np.testing.assert_allclose(np.asarray(h_last), np.asarray(ref_h), atol=2e-5)
     np.testing.assert_allclose(np.asarray(c_last), np.asarray(ref_c), atol=2e-5)
+
+
+def test_ef_convlstm_fused_scan_forward_matches():
+    r"""Model-level opt-in: EF_ConvLSTM(use_fused_scan=True) inference equals
+    the default XLA-scan forward (kernel runs interpreted off-TPU). Covers
+    both halves: hoisted-i2h encoder cells AND bias-only forecaster cells
+    with the encoder's (h, c) as initial state."""
+    from vp_suite_tpu.models import MODEL_CLASSES
+
+    kwargs = dict(img_shape=(3, 16, 16), action_size=0,
+                  tensor_value_range=(0.0, 1.0))
+    base = MODEL_CLASSES["convlstm-shi"](**kwargs)
+    fused = MODEL_CLASSES["convlstm-shi"](**kwargs, use_fused_scan=True)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 3, 16, 16, 3), jnp.float32)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, pred_frames=2)
+    with jax.default_matmul_precision("highest"):
+        ref, _ = base.apply(variables, x, pred_frames=2)
+        out, _ = fused.apply(variables, x, pred_frames=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_fused_scan_batch_independence():

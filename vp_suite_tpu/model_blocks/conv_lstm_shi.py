@@ -61,6 +61,12 @@ class ConvLSTMShi(VPModelBlock):
     #: per-layer [b,t]<->[t,b] transposes around the scan (the EF stack runs
     #: time-major end to end; profiled ~13% of the flagship step was these
     #: copies).
+    use_fused_scan: bool = False  #: run the WHOLE recurrence as one Pallas
+    #: kernel (``ops/pallas_convlstm.py``): grid (b, T) with the (h, c)
+    #: carry resident in VMEM across timesteps, hidden conv as an in-kernel
+    #: im2col dot. FORWARD-ONLY (no VJP yet — measurement-gated): inference/
+    #: eval paths only; differentiating through it raises. Requires k3 s1 p1.
+    #: Falls back to the XLA scan when preconditions don't hold.
     hoist_i2h: bool = True  #: precompute the input-half conv for all steps as
     #: one batched conv (default). False runs the torch-style fused
     #: conv(concat([x, h])) per step instead — cheaper when ``in_channels``
@@ -111,7 +117,8 @@ class ConvLSTMShi(VPModelBlock):
         concat_ok = (inputs is not None and self.stride == 1
                      and inputs.shape[2] == self.state_h
                      and inputs.shape[3] == self.state_w)
-        hoist = inputs is not None and (self.hoist_i2h or not concat_ok)
+        hoist = inputs is not None and (self.hoist_i2h or self.use_fused_scan
+                                        or not concat_ok)
         raw_xs = inputs is not None and not hoist
         if hoist:
             bt = inputs.shape[0] * inputs.shape[1]
@@ -136,6 +143,23 @@ class ConvLSTMShi(VPModelBlock):
             # + per-step dynamic-slice reads (profiled ~8 ms/step on the
             # flagship bench); the bias rides the per-step hidden conv instead
             i2h_t = None
+
+        if (self.use_fused_scan and not raw_xs and self.kernel_size == 3
+                and self.stride == 1 and self.padding == 1):
+            import jax as _jax
+            from vp_suite_tpu.ops.pallas_convlstm import convlstm_scan_fused
+            if i2h_t is None:
+                i2h_in, k_bias = None, bias
+            else:
+                # hoist path already folded the bias into i2h
+                i2h_in, k_bias = i2h_t, jnp.zeros_like(bias)
+            outputs, (h_last, c_last) = convlstm_scan_fused(
+                i2h_in, h0, c0, h_kernel, k_bias, wci, wcf, wco,
+                seq_len=seq_len,
+                interpret=_jax.default_backend() != "tpu")
+            if not self.time_major:
+                outputs = jnp.moveaxis(outputs, 0, 1)
+            return outputs, (h_last, c_last)
 
         if (self.remat_policy == "scan_vjp" and not self.use_pallas
                 and self.scan_unroll in (0, 1) and not raw_xs):

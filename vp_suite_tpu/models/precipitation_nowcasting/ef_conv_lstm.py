@@ -51,6 +51,8 @@ class EF_ConvLSTM(EncoderForecasterBase):
     final_conv_2_p: int = 0
 
     use_pallas: bool = False  #: route cell gates through the fused Pallas kernel.
+    use_fused_scan: bool = False  #: run each cell's whole recurrence as ONE
+    #: Pallas kernel (forward-only; inference/eval — see ConvLSTMShi).
     remat_policy: str = "gates"  #: cell remat policy ('full' | 'gates'; 'gates' saves
     #: per-step gate pre-activations: ~5%% faster backward, more HBM).
     scan_unroll: int = 0  #: cell time-loop unroll; 0 = auto (full unroll for
@@ -79,7 +81,7 @@ class EF_ConvLSTM(EncoderForecasterBase):
                 kernel_size=self.enc_rnn_k[n], stride=self.enc_rnn_s[n],
                 padding=self.enc_rnn_p[n], use_pallas=self.use_pallas,
                 remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
-                hoist_i2h=self.hoist_i2h,
+                hoist_i2h=self.hoist_i2h, use_fused_scan=self.use_fused_scan,
                 time_major=True, name=f"enc_rnn{n+1}"))
             layer_in_c = layer_out_c
 
@@ -93,7 +95,7 @@ class EF_ConvLSTM(EncoderForecasterBase):
                 kernel_size=self.dec_rnn_k[n], stride=self.dec_rnn_s[n],
                 padding=self.dec_rnn_p[n], use_pallas=self.use_pallas,
                 remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
-                hoist_i2h=self.hoist_i2h,
+                hoist_i2h=self.hoist_i2h, use_fused_scan=self.use_fused_scan,
                 time_major=True, name=f"dec_rnn{n+1}"))
             dec_conv_dict = {
                 self.dec_conv_names[n]: (layer_mid_c, layer_out_c, self.dec_conv_k[n],

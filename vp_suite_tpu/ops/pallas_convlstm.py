@@ -67,17 +67,18 @@ def _make_scan_kernel(sh, sw, enc, seq_len, has_x, xc=0):
 
     def kernel(*refs):
         if has_x:
-            (i2h_ref, wh_ref, bias_ref, wci_ref, wcf_ref, wco_ref,
+            (i2h_ref, h0_ref, c0_ref, wh_ref, bias_ref,
+             wci_ref, wcf_ref, wco_ref,
              hseq_ref, hlast_ref, clast_ref, h2, c_s) = refs
         else:
-            (wh_ref, bias_ref, wci_ref, wcf_ref, wco_ref,
+            (h0_ref, c0_ref, wh_ref, bias_ref, wci_ref, wcf_ref, wco_ref,
              hseq_ref, hlast_ref, clast_ref, h2, c_s) = refs
         it = pl.program_id(1)
 
         @pl.when(it == 0)
         def _():
-            h2[...] = jnp.zeros_like(h2)
-            c_s[...] = jnp.zeros_like(c_s)
+            h2[...] = h0_ref[0]
+            c_s[...] = c0_ref[0].astype(jnp.float32)
 
         # --- im2col of the carry: [sh*sw, 9*enc], one roll+mask per tap ---
         hv = h2[...]
@@ -137,9 +138,9 @@ def convlstm_scan_fused(i2h_t, h0, c0, h_kernel, bias, wci, wcf, wco,
     Args:
         i2h_t: [T, b, sh, sw, 4*enc] precomputed input half (time-major), or
             None (decode mode — bias-only input).
-        h0, c0: [b, sh, sw, enc] initial states (zeros semantics when the
-            caller passes zeros; the kernel zero-initialises its carry, so
-            non-zero h0/c0 are NOT yet supported).
+        h0, c0: [b, sh, sw, enc] initial states (loaded into the carry at
+            each batch item's t=0 — the forecaster half passes the encoder's
+            final states here).
         h_kernel: [3, 3, enc, 4*enc] hidden-half conv kernel (gate order
             i, f, c, o on the last axis).
         bias: [4*enc].
@@ -166,8 +167,10 @@ def convlstm_scan_fused(i2h_t, h0, c0, h_kernel, bias, wci, wcf, wco,
     hseq_spec = pl.BlockSpec((1, 1, sh * sw, enc),
                              lambda ib, it: (it, ib, 0, 0),
                              memory_space=pltpu.VMEM)
-    in_specs = [w_spec, b_spec, peep_spec, peep_spec, peep_spec]
-    args = [w4, b4] + peep2
+    in_specs = [flat_spec, flat_spec, w_spec, b_spec,
+                peep_spec, peep_spec, peep_spec]
+    args = [h0.reshape(b, sh * sw, enc), c0.reshape(b, sh * sw, enc).astype(dt),
+            w4, b4] + peep2
     if has_x:
         i2h4 = i2h_t.reshape(seq_len, b, sh * sw, 4, enc)
         i2h4 = jnp.moveaxis(i2h4, 3, 2).astype(dt)  # [T, b, 4, sh*sw, enc]
