@@ -59,6 +59,39 @@ for fused in (False, True):
     ms = (t_2n - t_n) / 10 * 1000
     print(f"fused={fused}: infer {ms:.2f} ms/step "
           f"({32*15/ms*1000:.0f} frames/s)", flush=True)
+
+# the fused path is differentiable (custom VJP): A/B the TRAIN step too
+from vp_suite_tpu.training.loop import make_train_step
+from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
+for fused in (False, True):
+    model = MODEL_CLASSES["convlstm-shi"](
+        img_shape=(3, 64, 64), action_size=0, tensor_value_range=(0.0, 1.0),
+        compute_dtype=jnp.bfloat16, use_fused_scan=fused)
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0),
+                               context_frames=5, pred_frames=10)
+    lp = PredictionLossProvider({"losses_and_scales": {"mse": 1.0},
+                                 "img_c": 3, "device": None})
+    step = make_train_step(model, {"context_frames": 5, "pred_frames": 10,
+                                   "use_actions": False}, opt, lp,
+                           donate=False)
+    rng = np.random.RandomState(0)
+    batch = {"frames": jax.device_put(rng.rand(32, 15, 64, 64, 3).astype(np.float32)),
+             "actions": jax.device_put(np.zeros((32, 15, 1), np.float32))}
+    epoch = jnp.asarray(0.0)
+    state, m = step(state, batch, epoch)
+    float(np.asarray(m["total"]))
+    def trun(n):
+        global state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step(state, batch, epoch)
+        float(np.asarray(m["total"]))
+        return time.perf_counter() - t0
+    t_n, t_2n = trun(10), trun(20)
+    ms = (t_2n - t_n) / 10 * 1000
+    print(f"fused={fused}: TRAIN {ms:.2f} ms/step "
+          f"({32*15/ms*1000:.0f} frames/s)", flush=True)
 PY
 echo "exit=$?"; cat "$OUT/fused_model_infer.txt"
 

@@ -69,6 +69,64 @@ def test_fused_scan_matches_reference(with_x, with_state):
     np.testing.assert_allclose(np.asarray(c_last), np.asarray(ref_c), atol=2e-5)
 
 
+@pytest.mark.parametrize("with_x", [False, True])
+def test_fused_scan_gradients_match(with_x):
+    r"""Custom VJP: grads through the fused scan (reverse-time kernel + bulk
+    XLA weight/bias/peephole contractions) equal autodiff through the
+    reference recurrence, for every differentiable input."""
+    t = 3
+    args = _setup(t=t, with_x=with_x, with_state=True)
+    argnums = tuple(j for j in range(8) if with_x or j != 0)
+
+    def loss_ref(*a):
+        seq, (h, c) = _ref_scan(*a, seq_len=t)
+        return jnp.sum(seq ** 2) + jnp.sum(h * c)
+
+    def loss_fused(*a):
+        seq, (h, c) = convlstm_scan_fused(*a, seq_len=t, interpret=True)
+        return jnp.sum(seq ** 2) + jnp.sum(h * c)
+
+    with jax.default_matmul_precision("highest"):
+        gr = jax.grad(loss_ref, argnums=argnums)(*args)
+        gf = jax.grad(loss_fused, argnums=argnums)(*args)
+    names = ["i2h", "h0", "c0", "h_kernel", "bias", "wci", "wcf", "wco"]
+    for j, a, b in zip(argnums, gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad mismatch: {names[j]}")
+
+
+def test_ef_convlstm_fused_scan_training_step():
+    r"""The EF model trains through the fused path: one value_and_grad step
+    produces finite loss and gradients matching the default path."""
+    from vp_suite_tpu.models import MODEL_CLASSES
+
+    kwargs = dict(img_shape=(3, 16, 16), action_size=0,
+                  tensor_value_range=(0.0, 1.0))
+    base = MODEL_CLASSES["convlstm-shi"](**kwargs)
+    fused = MODEL_CLASSES["convlstm-shi"](**kwargs, use_fused_scan=True)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 3, 16, 16, 3), jnp.float32)
+    tgt = jnp.asarray(rng.rand(2, 2, 16, 16, 3), jnp.float32)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, pred_frames=2)
+
+    def loss(model):
+        def f(params):
+            preds, _ = model.apply({"params": params}, x, pred_frames=2)
+            return jnp.mean((preds - tgt) ** 2)
+        return f
+
+    with jax.default_matmul_precision("highest"):
+        l_ref, g_ref = jax.value_and_grad(loss(base))(variables["params"])
+        l_f, g_f = jax.value_and_grad(loss(fused))(variables["params"])
+    assert abs(float(l_ref) - float(l_f)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_ef_convlstm_fused_scan_forward_matches():
     r"""Model-level opt-in: EF_ConvLSTM(use_fused_scan=True) inference equals
     the default XLA-scan forward (kernel runs interpreted off-TPU). Covers

@@ -64,9 +64,10 @@ class ConvLSTMShi(VPModelBlock):
     use_fused_scan: bool = False  #: run the WHOLE recurrence as one Pallas
     #: kernel (``ops/pallas_convlstm.py``): grid (b, T) with the (h, c)
     #: carry resident in VMEM across timesteps, hidden conv as an in-kernel
-    #: im2col dot. FORWARD-ONLY (no VJP yet — measurement-gated): inference/
-    #: eval paths only; differentiating through it raises. Requires k3 s1 p1.
-    #: Falls back to the XLA scan when preconditions don't hold.
+    #: im2col dot. Differentiable (custom VJP: reverse-time kernel + bulk
+    #: XLA weight grads — 'gates'-policy residuals). Requires k3 s1 p1;
+    #: falls back to the XLA scan when preconditions don't hold. Opt-in
+    #: pending TPU A/B measurement (scripts/run_round4_tpu.sh).
     hoist_i2h: bool = True  #: precompute the input-half conv for all steps as
     #: one batched conv (default). False runs the torch-style fused
     #: conv(concat([x, h])) per step instead — cheaper when ``in_channels``

@@ -52,7 +52,7 @@ class EF_ConvLSTM(EncoderForecasterBase):
 
     use_pallas: bool = False  #: route cell gates through the fused Pallas kernel.
     use_fused_scan: bool = False  #: run each cell's whole recurrence as ONE
-    #: Pallas kernel (forward-only; inference/eval — see ConvLSTMShi).
+    #: Pallas kernel (differentiable; see ConvLSTMShi.use_fused_scan).
     remat_policy: str = "gates"  #: cell remat policy ('full' | 'gates'; 'gates' saves
     #: per-step gate pre-activations: ~5%% faster backward, more HBM).
     scan_unroll: int = 0  #: cell time-loop unroll; 0 = auto (full unroll for
