@@ -264,6 +264,8 @@ ALL_CONFIGS = [
     # TPU-native extra: time-PARALLEL recurrence (associative_scan) — no
     # reference analog, tracked to quantify the log-depth-context win
     ("min-conv-rnn", "MinConvRNN MovingMNIST 5ctx->10pred train frames/sec/chip"),
+    # TPU-native extra: MXU-dense space-time transformer — no reference analog
+    ("pred-former", "PredFormer MovingMNIST 5ctx->10pred train frames/sec/chip"),
 ]
 
 
@@ -280,7 +282,7 @@ def run_all(args, emit=print):
             baseline = {"torch_cpu_train_fps": None,
                         "note": "eval-only baseline model, no torch train baseline",
                         "baseline_model": model_id}
-        elif model_id == "min-conv-rnn":
+        elif model_id in ("min-conv-rnn", "pred-former"):
             baseline = {"torch_cpu_train_fps": None,
                         "note": "TPU-native extra, no torch reference analog",
                         "baseline_model": model_id}

@@ -8,7 +8,7 @@ import sys
 from pathlib import Path
 
 MODELS = ["convlstm-shi", "predrnn-pp", "phy", "unet-3d", "trajgru",
-          "lstm", "st-phy", "min-conv-rnn"]
+          "lstm", "st-phy", "min-conv-rnn", "pred-former"]
 METRIC_KEYS = [("mse (↓)", "mse"), ("psnr (↑)", "psnr"),
                ("ssim (↑)", "ssim"), ("lpips (↓)", "lpips_rf")]
 

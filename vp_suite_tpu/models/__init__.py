@@ -10,6 +10,7 @@ from vp_suite_tpu.models.predrnn_v2 import PredRNN_V2
 from vp_suite_tpu.models.precipitation_nowcasting.ef_conv_lstm import EF_ConvLSTM
 from vp_suite_tpu.models.precipitation_nowcasting.ef_traj_gru import EF_TrajGRU
 from vp_suite_tpu.models.min_conv_rnn import MinConvRNN
+from vp_suite_tpu.models.pred_former import PredFormer
 
 MODEL_CLASSES = {
     "copy": CopyLastFrame,
@@ -21,5 +22,6 @@ MODEL_CLASSES = {
     "trajgru": EF_TrajGRU,
     "predrnn-pp": PredRNN_V2,
     "min-conv-rnn": MinConvRNN,  # TPU-native extra (no reference analog)
+    "pred-former": PredFormer,   # TPU-native extra (no reference analog)
 }
 AVAILABLE_MODELS = MODEL_CLASSES.keys()
