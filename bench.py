@@ -266,6 +266,9 @@ ALL_CONFIGS = [
     ("min-conv-rnn", "MinConvRNN MovingMNIST 5ctx->10pred train frames/sec/chip"),
     # TPU-native extra: MXU-dense space-time transformer — no reference analog
     ("pred-former", "PredFormer MovingMNIST 5ctx->10pred train frames/sec/chip"),
+    # TPU-native extra: ONE-SHOT conv translator (no scan at all) — tracked
+    # to quantify the no-recurrence win at matched config
+    ("simvp", "SimVP MovingMNIST 5ctx->10pred train frames/sec/chip"),
 ]
 
 
@@ -282,7 +285,7 @@ def run_all(args, emit=print):
             baseline = {"torch_cpu_train_fps": None,
                         "note": "eval-only baseline model, no torch train baseline",
                         "baseline_model": model_id}
-        elif model_id in ("min-conv-rnn", "pred-former"):
+        elif model_id in ("min-conv-rnn", "pred-former", "simvp"):
             baseline = {"torch_cpu_train_fps": None,
                         "note": "TPU-native extra, no torch reference analog",
                         "baseline_model": model_id}

@@ -8,7 +8,7 @@ import sys
 from pathlib import Path
 
 MODELS = ["convlstm-shi", "predrnn-pp", "phy", "unet-3d", "trajgru",
-          "lstm", "st-phy", "min-conv-rnn", "pred-former"]
+          "lstm", "st-phy", "min-conv-rnn", "pred-former", "simvp"]
 METRIC_KEYS = [("mse (↓)", "mse"), ("psnr (↑)", "psnr"),
                ("ssim (↑)", "ssim"), ("lpips (↓)", "lpips_rf")]
 

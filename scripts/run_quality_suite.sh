@@ -13,7 +13,7 @@ STEPS=${3:-300}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
-for MODEL in convlstm-shi predrnn-pp phy unet-3d trajgru lstm st-phy min-conv-rnn pred-former; do
+for MODEL in convlstm-shi predrnn-pp phy unet-3d trajgru lstm st-phy min-conv-rnn pred-former simvp; do
   echo "=== $MODEL ==="
   timeout 14000 python scripts/train_mmnist_demo.py \
       --model "$MODEL" --epochs "$EPOCHS" --steps "$STEPS" \

@@ -11,6 +11,7 @@ from vp_suite_tpu.models.precipitation_nowcasting.ef_conv_lstm import EF_ConvLST
 from vp_suite_tpu.models.precipitation_nowcasting.ef_traj_gru import EF_TrajGRU
 from vp_suite_tpu.models.min_conv_rnn import MinConvRNN
 from vp_suite_tpu.models.pred_former import PredFormer
+from vp_suite_tpu.models.simvp import SimVP
 
 MODEL_CLASSES = {
     "copy": CopyLastFrame,
@@ -23,5 +24,6 @@ MODEL_CLASSES = {
     "predrnn-pp": PredRNN_V2,
     "min-conv-rnn": MinConvRNN,  # TPU-native extra (no reference analog)
     "pred-former": PredFormer,   # TPU-native extra (no reference analog)
+    "simvp": SimVP,              # TPU-native extra (no reference analog)
 }
 AVAILABLE_MODELS = MODEL_CLASSES.keys()
