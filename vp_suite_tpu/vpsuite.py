@@ -144,6 +144,46 @@ class VPSuite:
         self._model_setup(entry, loaded=True)
         return entry
 
+    def load_torch_model(self, model_dir: str, ckpt_name: str = "best_model.pth",
+                         seed: int = None):
+        r"""Migrates a checkpoint trained with the original torch vp-suite
+        (a pickled module, reference ``vpsuite.py:125-137``) into this
+        framework and appends it to the loaded models. Requires torch plus the
+        reference ``vp_suite`` package importable (for unpickling); see
+        ``utils/torch_import.py`` for the pure state-dict path that needs
+        neither."""
+        from vp_suite_tpu.utils.torch_import import load_torch_checkpoint
+        ckpt = os.path.join(model_dir, ckpt_name) if ckpt_name else model_dir
+        model_id, model_kwargs, variables = load_torch_checkpoint(ckpt)
+        model = MODEL_CLASSES[model_id](**model_kwargs)
+        seed = DEFAULT_RUN_CONFIG["seed"] if seed is None else seed
+        optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=DEFAULT_RUN_CONFIG["lr"])
+        state = create_train_state(model, optimizer, jax.random.PRNGKey(seed))
+        imported = dict(variables)
+        params = imported.pop("params", {})
+        init_shapes = jax.tree_util.tree_map(jnp.shape, state.params)
+        got_shapes = jax.tree_util.tree_map(jnp.shape, params)
+        if model_id == "lstm" and init_shapes != got_shapes:
+            # reference quirk: its LSTM cells are unregistered AND untrained
+            # (models/lstm.py docstring) — keep our fresh cell init for any
+            # missing leaves
+            merged = dict(state.params)
+            merged.update(params)
+            params, got_shapes = merged, jax.tree_util.tree_map(jnp.shape, merged)
+        if init_shapes != got_shapes:
+            raise ValueError(
+                f"imported torch checkpoint does not match model '{model_id}' "
+                f"built with {model_kwargs}:\nexpected {init_shapes}\n"
+                f"got {got_shapes}")
+        state = state.replace(
+            params=params,
+            extra_vars={**state.extra_vars, **imported},
+            opt_state=optimizer.init(params) if model.TRAINABLE else None)
+        entry = ModelEntry(model, state, model_id, model_dir=str(model_dir))
+        self._model_setup(entry, loaded=True)
+        return entry
+
     def create_model(self, model_id: str, action_conditional: bool = False,
                      seed: int = None, **model_kwargs):
         r"""Creates a model, auto-filling REQUIRED_ARGS from the last loaded
