@@ -55,7 +55,30 @@ def capture(model_id, img, ctx, pred, batch, steps, out_dir, remat=True,
     jax.profiler.stop_trace()
 
 
-def summarize(out_dir, top, steps=1, strip_ids=True):
+#: op-name prefix -> category, for the bound-by rollup. Order matters
+#: (first match wins). XLA:TPU op names are HLO opcode-prefixed.
+_CATEGORIES = [
+    (("convolution", "dot", "dot_general", "cublas", "conv"), "mxu"),
+    (("fusion", "loop_fusion", "input_fusion", "output_fusion"), "fusion"),
+    (("copy", "reshape", "transpose", "bitcast", "copy-start",
+      "copy-done"), "layout"),
+    (("dynamic-slice", "dynamic-update-slice", "gather", "scatter",
+      "slice", "concatenate", "pad", "reverse"), "memory"),
+    (("all-reduce", "all-gather", "reduce-scatter", "collective",
+      "all-to-all", "ppermute", "send", "recv"), "collective"),
+    (("custom-call",), "custom-call (pallas)"),
+]
+
+
+def _category(name):
+    low = name.lower()
+    for prefixes, cat in _CATEGORIES:
+        if any(low.startswith(p) for p in prefixes):
+            return cat
+    return "other"
+
+
+def summarize(out_dir, top, steps=1, strip_ids=True, emit_json=None):
     r"""Parses the Chrome trace (device events) directly: the installed
     tensorboard_plugin_profile converter is broken (protobuf mismatch), but
     the capture also writes ``*.trace.json.gz`` with the XLA-op timeline.
@@ -99,8 +122,23 @@ def summarize(out_dir, top, steps=1, strip_ids=True):
         stack.append((ts, ts + dur, name))
     total = sum(self_us.values())
     print(f"total device self time: {total / 1000 / steps:.1f} ms/step")
+    cat_us = collections.Counter()
+    for name, us in self_us.items():
+        cat_us[_category(name)] += us
+    print("bound-by rollup (self-time share):")
+    for cat, us in cat_us.most_common():
+        print(f"  {us / total * 100:5.1f}%  {us / 1000 / steps:8.2f} ms/step  {cat}")
     for name, us in self_us.most_common(top):
         print(f"{us / 1000 / steps:9.2f} ms/step  x{cnt[name] // steps:5d}  {name[:90]}")
+    if emit_json:
+        with open(emit_json, "w") as f:
+            json.dump({"total_ms_per_step": total / 1000 / steps,
+                       "categories_ms_per_step": {
+                           c: us / 1000 / steps for c, us in cat_us.items()},
+                       "top_ops_ms_per_step": {
+                           n: us / 1000 / steps
+                           for n, us in self_us.most_common(top)}}, f, indent=1)
+        print(f"wrote {emit_json}")
 
 
 def main():
@@ -118,6 +156,9 @@ def main():
                         help="profile without scan-body remat (remat regions "
                              "show up as opaque 'checkpoint' events; this "
                              "exposes the per-op breakdown)")
+    parser.add_argument("--json", default=None,
+                        help="also write the summary (total, per-category, "
+                             "top ops) as JSON to this path")
     parser.add_argument("--model-kwarg", action="append", default=[],
                         help="extra model kwarg as key=value (values parsed "
                              "as python literals: False/2/'gates'/...)")
@@ -136,7 +177,7 @@ def main():
         capture(args.model, args.img, 5, 10, args.batch, args.steps, args.out,
                 remat=not args.no_remat, model_kwargs=mkw)
     summarize(args.out, args.top, steps=args.steps,
-              strip_ids=not args.full_names)
+              strip_ids=not args.full_names, emit_json=args.json)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+#: Per-kernel VMEM budget. The default scoped limit (16M) OOMs at the 64x64
+#: flagship layer (measured: 25.45M needed — f32 roll temps + the 9-tap
+#: im2col + 4 f32 gate accumulators); 64M leaves the same headroom ratio
+#: while staying well under the chip's physical VMEM.
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
+
 def _shift_mask(sh, sw, dy, dx):
     r"""[sh*sw, 1] f32 mask: 1 where source pixel (y+dy-1, x+dx-1) is inside
     the image (zero-padding semantics for the rolled flat layout)."""
@@ -66,7 +73,14 @@ def _shift_mask(sh, sw, dy, dx):
 def _im2col_flat(v, sh, sw, flip=False):
     r"""9-tap im2col over the flat row layout: [sh*sw, c] -> [sh*sw, 9*c].
     ``flip=True`` builds the TRANSPOSED-conv gathering (reflected taps) used
-    by the backward pass."""
+    by the backward pass.
+
+    Rolls run in f32: Mosaic's ``tpu.dynamic_rotate`` only supports 32-bit
+    element types on real hardware ("Rotate with non-32-bit data" compile
+    error; interpret mode silently accepts bf16). Each tap casts back to
+    ``v.dtype`` immediately, so the concatenated im2col stays bf16-sized."""
+    out_dt = v.dtype
+    v = v.astype(jnp.float32)
     cols = []
     for dy in range(3):
         for dx in range(3):
@@ -79,7 +93,7 @@ def _im2col_flat(v, sh, sw, flip=False):
                 mask = _shift_mask(sh, sw, dy, dx)
             # pltpu.roll wants a non-negative shift
             rolled = pltpu.roll(v, roll_by, 0) if roll_by else v
-            cols.append(rolled * mask.astype(v.dtype))
+            cols.append((rolled * mask).astype(out_dt))
     return jnp.concatenate(cols, axis=1)
 
 
@@ -271,6 +285,11 @@ def _fwd_call(i2h_t, h0, c0, h_kernel, bias, wci, wcf, wco,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((sh * sw, enc), dt),
                         pltpu.VMEM((sh * sw, enc), jnp.float32)],
+        # the f32 roll temps + 9-tap im2col + 4 gate accumulators exceed the
+        # default 16M scoped-vmem budget at 64x64 (25.45M measured OOM);
+        # raise the cap for this kernel (v5e VMEM is far larger)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*args)
     h_seq, h_last, c_last = outs[:3]
@@ -342,6 +361,8 @@ def _scan_fused_bwd(seq_len, interpret, res, cotangents):
                    jax.ShapeDtypeStruct((b, sh * sw, enc), f32)],
         scratch_shapes=[pltpu.VMEM((sh * sw, enc), f32),
                         pltpu.VMEM((sh * sw, enc), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(gates_seq, cprev_seq,
       dh_seq.reshape(seq_len, b, sh * sw, enc).astype(dt),
