@@ -67,6 +67,9 @@ _CATEGORIES = [
     (("all-reduce", "all-gather", "reduce-scatter", "collective",
       "all-to-all", "ppermute", "send", "recv"), "collective"),
     (("custom-call",), "custom-call (pallas)"),
+    # cond/while branch computations show as one opaque event absorbing
+    # their body ops (e.g. the traced band-limit/exact warp fallback)
+    (("branch", "conditional", "while", "body", "region"), "control-flow"),
 ]
 
 
@@ -75,6 +78,15 @@ def _category(name):
     for prefixes, cat in _CATEGORIES:
         if any(low.startswith(p) for p in prefixes):
             return cat
+    # XLA:TPU names fusions by their root ops ("multiply_reduce_fusion",
+    # "copy_bitcast_fusion"): classify by the first op token, falling back
+    # to the generic fusion bucket
+    if "fusion" in low:
+        head = low.split("_", 1)[0]
+        for prefixes, cat in _CATEGORIES:
+            if any(head.startswith(p) for p in prefixes):
+                return cat
+        return "fusion"
     return "other"
 
 
