@@ -46,7 +46,7 @@ def _xla_scan(i2h_t, h0, c0, h_kernel, bias, wci, wcf, wco, seq_len):
     return seq, (h, c)
 
 
-def timeit(fn, *args, reps=20):
+def timeit(fn, *args, reps=20, pairs=5):
     out = fn(*args)
     sync = out[0]
     float(np.asarray(sync).reshape(-1)[0])
@@ -58,9 +58,16 @@ def timeit(fn, *args, reps=20):
         float(np.asarray(out[0]).reshape(-1)[0])
         return time.perf_counter() - t0
 
-    t_n = run(reps)
-    t_2n = run(2 * reps)
-    return (t_2n - t_n) / reps * 1000  # ms
+    # One (T(2N)-T(N)) pair is fragile on the 1-core host: a single load
+    # spike during either leg can push the marginal estimate negative
+    # (observed in /tmp/r4_tpu/fused_convlstm_fixed2.txt). Take the median
+    # over several pairs instead.
+    ests = []
+    for _ in range(pairs):
+        t_n = run(reps)
+        t_2n = run(2 * reps)
+        ests.append((t_2n - t_n) / reps * 1000)  # ms
+    return float(np.median(ests))
 
 
 def main():
