@@ -93,6 +93,21 @@ def test_gradients_flow():
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+@pytest.mark.parametrize("model_id", ["convlstm-shi", "trajgru"])
+def test_ef_interleaved_forecast_matches_staged(model_id):
+    r"""The interleaved forecaster (one per-step loop, layout-copy killer —
+    see ef_blocks.EncoderForecasterBase.interleaved_forecast) must be
+    numerically identical to the staged per-stage-batched form."""
+    staged = _build(model_id)
+    inter = _build(model_id, interleaved_forecast=True)
+    x = jnp.asarray(np.random.rand(B, CTX, IMG, IMG, 3).astype(np.float32))
+    variables = staged.init({"params": jax.random.PRNGKey(0)}, x, pred_frames=PRED)
+    p_staged, _ = staged.apply(variables, x, pred_frames=PRED)
+    p_inter, _ = inter.apply(variables, x, pred_frames=PRED)
+    np.testing.assert_allclose(np.asarray(p_staged), np.asarray(p_inter),
+                               rtol=0, atol=1e-5)
+
+
 def test_ef_rejects_wrong_output_size():
     r"""EF conv arithmetic validation (parity: ef_blocks.py:161-167): an image
     size the conv stack can't reproduce must raise at init."""

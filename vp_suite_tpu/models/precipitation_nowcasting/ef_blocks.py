@@ -66,6 +66,15 @@ class EncoderForecasterBase(VPModel):
     NAME = "Encoder-Forecaster Structure (Shi et al.)"
 
     num_layers: int = 3
+    interleaved_forecast: bool = False  #: run the forecaster as ONE per-step
+    #: loop (cell step + stage deconv together) instead of per-stage batched
+    #: deconvs between whole-sequence scans. Numerically identical. Motivation:
+    #: the staged form makes XLA re-lay each [t, b, h, w, c] stage output
+    #: between the batched deconv's layout and the (fully unrolled) scan's
+    #: per-step layout (~8 x ~1 ms relayout copies per flagship train step,
+    #: see STATUS.md); interleaving keeps every per-step tensor inside one
+    #: consistently-laid-out subgraph. Only profitable when the per-layer
+    #: scans would fully unroll anyway (pred_frames <= 20).
 
     def _per_layer_params(self):
         r"""(name, value) pairs of enc_*/dec_* hyperparameters for length
@@ -146,6 +155,19 @@ class EncoderForecasterBase(VPModel):
         input on the deepest stage (parity: ``ef_blocks.py:100-114``).
         Time-major throughout, like :meth:`encode`."""
         n = self.num_layers
+        if self.interleaved_forecast:
+            # one per-step loop: cell step + stage conv together so XLA lays
+            # out the whole step consistently (no batched-conv <-> scan-slice
+            # relayout copies). Same params, same math as the staged form.
+            states = [hidden_states[n - 1 - i] for i in range(n)]
+            frames = []
+            for _ in range(pred_frames):
+                cur = None
+                for i in range(n):
+                    cur, states[i] = self.dec_rnns_list[i](cur, states[i], 1)
+                    cur = apply_stage_batched(self.dec_stages[i], cur)
+                frames.append(cur[0])
+            return jnp.stack(frames, 0)
         cur, _ = self.dec_rnns_list[0](None, hidden_states[-1], pred_frames)
         cur = apply_stage_batched(self.dec_stages[0], cur)
         for i in range(1, n):
