@@ -94,12 +94,17 @@ def test_gradients_flow():
 
 
 @pytest.mark.parametrize("model_id", ["convlstm-shi", "trajgru"])
-def test_ef_interleaved_forecast_matches_staged(model_id):
-    r"""The interleaved forecaster (one per-step loop, layout-copy killer —
-    see ef_blocks.EncoderForecasterBase.interleaved_forecast) must be
-    numerically identical to the staged per-stage-batched form."""
+@pytest.mark.parametrize("flags", [dict(interleaved_forecast=True),
+                                   dict(interleaved_encode=True),
+                                   dict(interleaved_forecast=True,
+                                        interleaved_encode=True)])
+def test_ef_interleaved_matches_staged(model_id, flags):
+    r"""The interleaved encoder/forecaster (per-step loops, layout-copy
+    killers — see ef_blocks.EncoderForecasterBase.interleaved_forecast /
+    interleaved_encode) must be numerically identical to the staged
+    per-stage-batched form."""
     staged = _build(model_id)
-    inter = _build(model_id, interleaved_forecast=True)
+    inter = _build(model_id, **flags)
     x = jnp.asarray(np.random.rand(B, CTX, IMG, IMG, 3).astype(np.float32))
     variables = staged.init({"params": jax.random.PRNGKey(0)}, x, pred_frames=PRED)
     p_staged, _ = staged.apply(variables, x, pred_frames=PRED)

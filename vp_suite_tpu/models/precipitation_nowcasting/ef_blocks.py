@@ -75,6 +75,11 @@ class EncoderForecasterBase(VPModel):
     #: see STATUS.md); interleaving keeps every per-step tensor inside one
     #: consistently-laid-out subgraph. Only profitable when the per-layer
     #: scans would fully unroll anyway (pred_frames <= 20).
+    interleaved_encode: bool = False  #: same per-step restructuring for the
+    #: encoder (stage conv + cell step per context frame). Separate flag:
+    #: the encoder's stage convs batch over REAL frames, so interleaving
+    #: them trades the t-times-larger MXU convs for the layout win — the
+    #: trade-off can differ from the forecaster's.
 
     def _per_layer_params(self):
         r"""(name, value) pairs of enc_*/dec_* hyperparameters for length
@@ -141,9 +146,21 @@ class EncoderForecasterBase(VPModel):
         the whole stack stays time-major so the per-layer scans consume and
         produce their natural layout with zero transposes. Returns per-stage
         final states."""
+        t = x.shape[0]
+        if self.interleaved_encode:
+            # per-step loop (see interleaved_forecast): stage conv + cell
+            # step per frame, carries threaded across the Python time loop.
+            # Zero-init (states=None) on the first step == the scan's h0.
+            states = [None] * len(self.enc_rnns_list)
+            for ti in range(t):
+                cur = x[ti:ti + 1]
+                for i, (stage, rnn) in enumerate(zip(self.enc_stages,
+                                                     self.enc_rnns_list)):
+                    cur = apply_stage_batched(stage, cur)
+                    cur, states[i] = rnn(cur, states[i], 1)
+            return tuple(states)
         hidden_states = []
         cur = x
-        t = cur.shape[0]
         for stage, rnn in zip(self.enc_stages, self.enc_rnns_list):
             cur = apply_stage_batched(stage, cur)
             cur, state = rnn(cur, None, t)
