@@ -88,6 +88,10 @@ def measure_ours(img=64, ctx=5, pred=10, batch=32, steps=20, compute_dtype="bflo
             kwargs["scan_unroll"] = unroll
     if model_id == "unet-3d":
         kwargs["temporal_dim"] = min(ctx, 3)
+    if model_id == "simvp":
+        # the translator's input projection is in_frames*hid_s wide — give it
+        # the full context so the "5ctx" label stays honest
+        kwargs["in_frames"] = ctx
     if model_id == "copy":
         kwargs = dict(img_shape=(3, img, img), action_size=0,
                       tensor_value_range=(0.0, 1.0))

@@ -54,7 +54,8 @@ def main():
                         "lpips_rf = random-feature LPIPS (no pretrained "
                         "AlexNet in this environment)",
               "models": rows, "copy_last_frame": copy_row}
-    out = Path(__file__).parent / "results_quality_r04.json"
+    out = Path(__file__).parent / (sys.argv[2] if len(sys.argv) > 2
+                                   else "results_quality_r05.json")
     out.write_text(json.dumps(result, indent=2))
     print(f"wrote {out}")
 

@@ -58,6 +58,9 @@ def capture(model_id, img, ctx, pred, batch, steps, out_dir, remat=True,
 #: op-name prefix -> category, for the bound-by rollup. Order matters
 #: (first match wins). XLA:TPU op names are HLO opcode-prefixed.
 _CATEGORIES = [
+    # 'convert' (elementwise bf16/f32 casts) must match BEFORE the mxu
+    # group: the bare 'conv' prefix would otherwise claim it (ADVICE r4)
+    (("convert",), "elementwise"),
     (("convolution", "dot", "dot_general", "cublas", "conv"), "mxu"),
     (("fusion", "loop_fusion", "input_fusion", "output_fusion"), "fusion"),
     (("copy", "reshape", "transpose", "bitcast", "copy-start",

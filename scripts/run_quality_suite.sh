@@ -13,7 +13,9 @@ STEPS=${3:-300}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
-for MODEL in convlstm-shi predrnn-pp phy unet-3d trajgru lstm st-phy min-conv-rnn pred-former simvp; do
+# Never-measured models first: if the tunnel dies mid-suite we still get
+# the rows that have no prior-round numbers.
+for MODEL in ${MODELS:-lstm st-phy min-conv-rnn pred-former simvp trajgru predrnn-pp convlstm-shi phy unet-3d}; do
   echo "=== $MODEL ==="
   timeout 14000 python scripts/train_mmnist_demo.py \
       --model "$MODEL" --epochs "$EPOCHS" --steps "$STEPS" \

@@ -43,8 +43,10 @@ def main():
     if args.resume and (_P(args.out) / "best_model").exists():
         suite.load_model(args.out, "best_model")
     else:
-        # UNet-3D's temporal_dim is a REQUIRED_ARG the dataset can't provide
-        extra = {"temporal_dim": 3} if args.model == "unet-3d" else {}
+        # UNet-3D's temporal_dim is a REQUIRED_ARG the dataset can't provide;
+        # SimVP's translator width is in_frames*hid_s — give it the full context
+        extra = {"temporal_dim": 3} if args.model == "unet-3d" else \
+            {"in_frames": 5} if args.model == "simvp" else {}
         suite.create_model(args.model, **extra)
     best = suite.train(epochs=args.epochs, batch_size=args.batch,
                        context_frames=5, pred_frames=10,

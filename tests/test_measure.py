@@ -89,6 +89,41 @@ def test_wasserstein2_zero_for_identical_distributions():
     assert abs(wasserstein2_numpy(x, x)) < 1e-6
 
 
+def test_wasserstein2_jax_matches_numpy_and_differentiates():
+    r"""The eigh-based differentiable path agrees with the host/f64 reference
+    math (the symmetric A@A.T eigenvalues ARE the squared singular values the
+    nonsymmetric method sums) and yields finite gradients."""
+    import jax
+    from vp_suite_tpu.measure.fvd.fvd import wasserstein2_jax, wasserstein2_numpy
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((8, 32)).astype(np.float32)   # [b, n]
+    b = (0.7 * rng.standard_normal((8, 32)) + 0.5).astype(np.float32)
+    ref = wasserstein2_numpy(a, b)
+    got = float(jax.jit(wasserstein2_jax)(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - ref) < 1e-2 * max(1.0, abs(ref))
+    assert abs(float(wasserstein2_jax(jnp.asarray(a), jnp.asarray(a)))) < 1e-2
+    g = jax.grad(lambda p: wasserstein2_jax(p, jnp.asarray(b)))(jnp.asarray(a))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(np.abs(np.asarray(g)).sum()) > 0.0
+
+
+def test_fvd_loss_mode_routes_tracers_through_jax_path():
+    r"""Under a grad trace, FrechetVideoDistance.get_distance must not hit
+    np.asarray (TracerArrayConversionError) — it routes to wasserstein2_jax.
+    Feature extraction is stubbed to keep this CPU-fast; the real I3D path is
+    covered by the slow facade test (test_suite.test_training_with_fvd_loss)."""
+    import jax
+    from vp_suite_tpu.measure.fvd.fvd import FrechetVideoDistance
+    m = FrechetVideoDistance(in_channels=3)
+    m._features_fn = jax.jit(lambda x: x.mean(axis=(2, 3)).reshape(x.shape[0], -1))
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.random((4, 9, 8, 8, 3)).astype(np.float32))
+    target = jnp.asarray(rng.random((4, 9, 8, 8, 3)).astype(np.float32))
+    val, g = jax.value_and_grad(lambda p: m.forward(p, target))(pred)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_loss_provider_total():
     from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
     cfg = {"device": None, "losses_and_scales": {"mse": 1.0, "l1": 0.5}, "img_c": 3}

@@ -364,6 +364,62 @@ def test_band_pred_guard():
         pw._BAND_R = orig
 
 
+def test_warp_sample_clamp_mode_interpret():
+    r"""'clamp' mode (the branch-free default): the full custom-vjp
+    warp_sample equals the dense einsum reference applied to band-saturated
+    row indices — exactly the reference warp for in-band flows — and its
+    VJP equals autodiff through clip + dense warp (zero d_iy where
+    saturated)."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    from vp_suite_tpu.ops.grid_sample import _onehot_factor
+
+    def ref_fn(iy_, ix_, img_):
+        A = _onehot_factor(iy_, img_.shape[1], img_.dtype)
+        Bm = _onehot_factor(ix_, img_.shape[2], img_.dtype)
+        return pw._warp_contract_einsum(A, Bm, img_).transpose(0, 1, 3, 2)
+
+    iy_s, ix, img = _band_inputs(seed=18)
+    iy_l = iy_s.at[1, 2, 37].add(9.0).at[0, 1, 5].add(-6.0)  # out-of-band
+    orig_elig, orig_mode = pw._fused_eligible, pw._BAND_MODE
+    orig_poss = pw._band_possible
+    pw._fused_eligible = lambda *a: True
+    # the 16x16 test geometry fails the (R*W) % 128 lane-alignment check
+    # (which real shapes satisfy); interpret mode has no alignment rule
+    pw._band_possible = lambda *a: True
+    pw._BAND_MODE = "clamp"
+    try:
+        with _with_band_geometry(pw, 64, 2):
+            W = img.shape[2]
+            for iy in (iy_s, iy_l):
+                want = ref_fn(pw._clamp_rows(iy, W), ix, img)
+                got = pw.warp_sample(iy, ix, img)
+                assert np.abs(np.asarray(want) - np.asarray(got)).max() < 1e-4
+            # in-band == the EXACT unclamped warp
+            exact = ref_fn(iy_s, ix, img)
+            got_s = pw.warp_sample(iy_s, ix, img)
+            assert np.abs(np.asarray(exact) - np.asarray(got_s)).max() < 1e-4
+
+            # VJP == autodiff through clip + dense warp
+            rng = np.random.default_rng(19)
+            b, L, P = iy_l.shape
+            g = jnp.asarray(rng.random((b, L, img.shape[-1], P)).astype(np.float32))
+            _, vjp_ref = jax.vjp(
+                lambda y, x, i: ref_fn(pw._clamp_rows(y, W), x, i),
+                iy_l, ix, img)
+            ref_grads = vjp_ref(g)
+            _, vjp_got = jax.vjp(pw.warp_sample, iy_l, ix, img)
+            got_grads = vjp_got(g)
+            for r, q, name in zip(ref_grads, got_grads,
+                                  ["d_iy", "d_ix", "d_img"]):
+                assert np.abs(np.asarray(r) - np.asarray(q)).max() < 1e-4, name
+            assert float(np.asarray(got_grads[0])[1, 2, 37]) == 0.0
+            assert float(np.asarray(got_grads[0])[0, 1, 5]) == 0.0
+    finally:
+        pw._fused_eligible = orig_elig
+        pw._band_possible = orig_poss
+        pw._BAND_MODE = orig_mode
+
+
 def test_warp_sample_cond_dispatch_interpret():
     r"""Full warp_sample with the band geometry active: the lax.cond must
     route small flows through the band kernels and large flows through the

@@ -56,6 +56,23 @@ def test_facade_resume_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_training_with_fvd_loss(tmp_path):
+    r"""FVD as a TRAINING loss (reference parity: fvd.py:22-24 is explicitly
+    loss-capable): one jitted value_and_grad step through resize -> I3D ->
+    eigh-Wasserstein must produce finite losses. Needs pred_frames >= 9
+    (I3D minimum)."""
+    suite = VPSuite(device="cpu")
+    suite.load_dataset("MMF", img_size=16, digit_source="synthetic", n_seqs=4)
+    suite.create_model("lstm")
+    best = suite.train(epochs=1, batch_size=2, context_frames=2, pred_frames=9,
+                       steps_per_epoch=1, no_wandb=True, no_vis=True,
+                       losses_and_scales={"mse": 1.0, "fvd": 0.01},
+                       val_rec_criterion="mse",
+                       out_dir=str(tmp_path / "run"), metrics=["mse"])
+    assert np.isfinite(best)
+
+
+@pytest.mark.slow
 def test_training_with_vis(tmp_path):
     suite = _fresh_suite(tmp_path)
     suite.create_model("lstm")

@@ -1,19 +1,21 @@
 r"""Caltech Pedestrian dataset.
 
 Capability parity with ``vp_suite/datasets/caltech_pedestrian.py:14-124``:
-``.seq`` videos with the official set00-05 / set06-10 split and a precomputed
-``frame_counts.json`` (cv2's frame count is unreliable for .seq files, so
-counts are established by decoding each sequence once at prepare time).
-"""
-import json
-import os
-import random
+``.seq`` dashcam videos, the official set00-05 (train/val) vs set06-10 (test)
+partition, a seeded train/val cut, and a prepare-time ``frame_counts.json``
+sidecar (cv2's frame count is unreliable for .seq containers, so counts are
+established by decoding each sequence once).
 
-import numpy as np
+Split/window semantics are the reference's; the indexing machinery lives in
+:mod:`vp_suite_tpu.datasets._indexing` (shared across the file-backed
+loaders).
+"""
+from pathlib import Path
 
 from vp_suite_tpu.base.base_dataset import VPDataset, VPData
+from vp_suite_tpu.datasets import _indexing as idx
 from vp_suite_tpu.defaults import SETTINGS
-from vp_suite_tpu.utils.utils import set_from_kwarg, read_video
+from vp_suite_tpu.utils.utils import set_from_kwarg
 
 
 class CaltechPedestrianDataset(VPDataset):
@@ -33,80 +35,68 @@ class CaltechPedestrianDataset(VPDataset):
 
     def __init__(self, split, **dataset_kwargs):
         super().__init__(split, **dataset_kwargs)
-        self.NON_CONFIG_VARS.extend(["sequences", "sequences_with_frame_index"])
-
+        self.NON_CONFIG_VARS.extend(["sequences"])
         set_from_kwarg(self, dataset_kwargs, "train_to_val_ratio")
         set_from_kwarg(self, dataset_kwargs, "train_val_seed")
+        self.sequences = self._split_sequences()
+        self._windows = []
 
-        with open(os.path.join(self.data_dir, "frame_counts.json"), "r") as f:
-            sequences = list(json.load(f).items())
-
+    def _split_sequences(self):
+        r"""``(path, frame_count)`` pairs belonging to this split: the
+        official set partition first, then — for train/val — the seeded
+        ratio cut."""
+        counts = idx.load_frame_counts(self.data_dir)
+        wanted = self.TEST_SETS if self.split == "test" else self.TRAIN_VAL_SETS
+        pool = [(fp, n) for fp, n in counts.items()
+                if Path(fp).parent.name in wanted]
         if self.split == "test":
-            sequences = [(fp, fc) for (fp, fc) in sequences
-                         if fp.split("/")[-2] in self.TEST_SETS]
-            if len(sequences) < 1:
-                raise ValueError(f"Dataset {self.NAME}: didn't find enough test sequences "
-                                 f"-> can't use dataset")
-        else:
-            sequences = [(fp, fc) for (fp, fc) in sequences
-                         if fp.split("/")[-2] in self.TRAIN_VAL_SETS]
-            if len(sequences) < 2:
-                raise ValueError(f"Dataset {self.NAME}: didn't find enough train/val "
+            if not pool:
+                raise ValueError(f"Dataset {self.NAME}: didn't find enough test "
                                  f"sequences -> can't use dataset")
-            slice_idx = max(1, int(len(sequences) * self.train_to_val_ratio))
-            random.Random(self.train_val_seed).shuffle(sequences)
-            if self.split == "train":
-                sequences = sequences[:slice_idx]
-            else:
-                sequences = sequences[slice_idx:]
-        self.sequences = sequences
-        self.sequences_with_frame_index = []
+            return pool
+        if len(pool) < 2:
+            raise ValueError(f"Dataset {self.NAME}: didn't find enough train/val "
+                             f"sequences -> can't use dataset")
+        return idx.split_members(pool, self.split, self.train_to_val_ratio,
+                                 self.train_val_seed, at_least_one=True)
 
     def _set_seq_len(self):
-        for sequence_path, frame_count in self.sequences:
-            valid_start_idx = range(0, frame_count - self.seq_len + 1,
-                                    self.seq_len + self.seq_step - 1)
-            for idx in valid_start_idx:
-                self.sequences_with_frame_index.append((sequence_path, idx))
-
-    def __getitem__(self, i) -> VPData:
-        sequence_path, start_idx = self.sequences_with_frame_index[i]
-        vid = read_video(sequence_path, start_index=start_idx, num_frames=self.seq_len)
-        vid = vid[::self.seq_step]
-        vid = self.preprocess(vid)
-        actions = np.zeros((self.total_frames, 1), dtype=np.float32)
-        return {"frames": vid, "actions": actions,
-                "origin": f"{sequence_path}, start frame: {start_idx}"}
+        self._windows = idx.build_window_index(self.sequences, self.seq_len,
+                                               self.seq_step)
 
     def __len__(self):
-        return len(self.sequences_with_frame_index)
+        return len(self._windows)
+
+    def __getitem__(self, i) -> VPData:
+        fp, start = self._windows[i]
+        clip = idx.read_strided_clip(fp, start, self.seq_len, self.seq_step)
+        return idx.actionless_item(self, clip,
+                                   origin=f"{fp}, start frame: {start}")
 
     @classmethod
     def download_and_prepare_dataset(cls):
         d_path = cls.DEFAULT_DATA_DIR
         d_path.mkdir(parents=True, exist_ok=True)
-        try:
-            _ = next(d_path.rglob("**/*.seq"))
-            print(f"Found sequence data in {str(d_path.resolve())} -> Won't download {cls.NAME}")
-        except StopIteration:
+        if next(d_path.rglob("**/*.seq"), None) is not None:
+            print(f"Found sequence data in {str(d_path.resolve())} "
+                  f"-> Won't download {cls.NAME}")
+        else:
             from vp_suite_tpu.utils.utils import run_shell_command
-            prep_script = (SETTINGS.PKG_RESOURCES / "get_dataset_caltech_pedestrian.sh").resolve()
+            prep_script = (SETTINGS.PKG_RESOURCES
+                           / "get_dataset_caltech_pedestrian.sh").resolve()
             run_shell_command(f"{prep_script} {cls.DEFAULT_DATA_DIR}")
-
-        frame_count_path = d_path / "frame_counts.json"
-        if not frame_count_path.exists():
-            import cv2
+        if not (d_path / "frame_counts.json").exists():
             print("Analyzing video frame counts...")
+            # decode-based counting (get_frame_count's header count is
+            # unreliable for .seq): read until the stream ends
+            import cv2
             counts = {}
             for seq in sorted(d_path.rglob("**/*.seq")):
-                fp = str(seq.resolve())
-                cap = cv2.VideoCapture(fp)
-                frames = 0
-                while True:
-                    ret, _ = cap.read()
-                    if not ret:
-                        break
-                    frames += 1
-                counts[fp] = frames
-            with open(frame_count_path, "w") as f:
+                cap = cv2.VideoCapture(str(seq.resolve()))
+                n = 0
+                while cap.read()[0]:
+                    n += 1
+                counts[str(seq.resolve())] = n
+            import json
+            with open(d_path / "frame_counts.json", "w") as f:
                 json.dump(counts, f)

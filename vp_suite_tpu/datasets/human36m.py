@@ -1,19 +1,22 @@
 r"""Human 3.6M dataset.
 
-Capability parity with ``vp_suite/datasets/human36m.py:14-118``: mp4s plus a
-precomputed ``frame_counts.json``, scenario filtering, non-overlapping window
-indexing, resize-on-read.
+Capability parity with ``vp_suite/datasets/human36m.py:14-118``: mp4 videos
+under ``training/`` / ``testing/`` roots with a prepare-time
+``frame_counts.json`` sidecar per root, scenario filtering by filename,
+non-overlapping clip windows that skip the first ``SKIP_FIRST_N`` frames,
+and resize-on-read (the raw 1000x1000 frames are decoded straight to the
+target size).
+
+Split/window semantics are the reference's; the indexing machinery lives in
+:mod:`vp_suite_tpu.datasets._indexing` (shared across the file-backed
+loaders).
 """
-import json
-import os
-import random
 from pathlib import Path
 
-import numpy as np
-
 from vp_suite_tpu.base.base_dataset import VPDataset, VPData
+from vp_suite_tpu.datasets import _indexing as idx
 from vp_suite_tpu.defaults import SETTINGS
-from vp_suite_tpu.utils.utils import set_from_kwarg, read_video, get_frame_count
+from vp_suite_tpu.utils.utils import set_from_kwarg
 
 
 class Human36MDataset(VPDataset):
@@ -36,50 +39,46 @@ class Human36MDataset(VPDataset):
 
     def __init__(self, split, **dataset_kwargs):
         super().__init__(split, **dataset_kwargs)
-        self.NON_CONFIG_VARS.extend(["sequences", "sequences_with_frame_index", "ALL_SCENARIOS"])
-
+        self.NON_CONFIG_VARS.extend(["sequences", "ALL_SCENARIOS"])
         set_from_kwarg(self, dataset_kwargs, "scenarios", default=self.ALL_SCENARIOS,
                        choices=self.ALL_SCENARIOS)
         set_from_kwarg(self, dataset_kwargs, "train_val_seed")
 
-        split_ing = "testing" if self.split == "test" else "training"
-        self.data_dir = str((Path(self.data_dir) / split_ing).resolve())
-        with open(os.path.join(self.data_dir, "frame_counts.json"), "r") as f:
-            self.sequences = json.load(f)
+        # the dataset ships pre-partitioned roots; train/val carve up training/
+        root = Path(self.data_dir) / ("testing" if split == "test" else "training")
+        self.data_dir = str(root.resolve())
+        self.sequences = self._split_sequences()
+        self._windows = []
 
-        self.sequences = {vfp: fc for vfp, fc in self.sequences.items()
-                          if vfp.split("/")[-1].split(".")[0].split(" ")[0] in self.scenarios}
+    @staticmethod
+    def _scenario_of(fp):
+        r"""'.../Walking 1.55011271.mp4' -> 'Walking' (filename convention)."""
+        return Path(fp).name.split(".")[0].split(" ")[0]
 
-        if self.split in ["train", "val"]:
-            vfc_list = list(self.sequences.items())
-            slice_idx = int(len(vfc_list) * self.train_to_val_ratio)
-            random.Random(self.train_val_seed).shuffle(vfc_list)
-            if self.split == "train":
-                self.sequences = dict(vfc_list[:slice_idx])
-            else:
-                self.sequences = dict(vfc_list[slice_idx:])
-
-        self.sequences_with_frame_index = []
+    def _split_sequences(self):
+        counts = idx.load_frame_counts(self.data_dir)
+        pool = [(fp, n) for fp, n in counts.items()
+                if self._scenario_of(fp) in self.scenarios]
+        if self.split == "test":
+            return pool
+        return idx.split_members(pool, self.split, self.train_to_val_ratio,
+                                 self.train_val_seed)
 
     def _set_seq_len(self):
-        for vfp, frame_count in self.sequences.items():
-            valid_idx = range(self.SKIP_FIRST_N, frame_count - self.seq_len + 1,
-                              self.seq_len + self.seq_step - 1)
-            for idx in valid_idx:
-                self.sequences_with_frame_index.append((vfp, idx))
-
-    def __getitem__(self, i) -> VPData:
-        sequence_path, start_idx = self.sequences_with_frame_index[i]
-        vid = read_video(sequence_path, img_size=self.img_shape[1:],
-                         start_index=start_idx, num_frames=self.seq_len)
-        vid = vid[::self.seq_step]
-        vid = self.preprocess(vid, transform=False)  # resized at read time
-        actions = np.zeros((self.total_frames, 1), dtype=np.float32)
-        return {"frames": vid, "actions": actions,
-                "origin": f"{sequence_path}, start frame: {start_idx}"}
+        self._windows = idx.build_window_index(self.sequences, self.seq_len,
+                                               self.seq_step,
+                                               skip_first=self.SKIP_FIRST_N)
 
     def __len__(self):
-        return len(self.sequences_with_frame_index)
+        return len(self._windows)
+
+    def __getitem__(self, i) -> VPData:
+        fp, start = self._windows[i]
+        clip = idx.read_strided_clip(fp, start, self.seq_len, self.seq_step,
+                                     img_size=self.img_shape[1:])
+        # transform=False: already resized at decode time
+        return idx.actionless_item(self, clip, transform=False,
+                                   origin=f"{fp}, start frame: {start}")
 
     @classmethod
     def download_and_prepare_dataset(cls):
@@ -90,10 +89,6 @@ class Human36MDataset(VPDataset):
             prep_script = (SETTINGS.PKG_RESOURCES / "get_dataset_human36m.sh").resolve()
             run_shell_command(f"{prep_script} {cls.DEFAULT_DATA_DIR}")
         print("Analyzing video frame counts...")
-        for split in ["training", "testing"]:
-            d_split_path = d_path / split
-            frame_counts = {}
-            for vid_fp in d_split_path.rglob("**/*.mp4"):
-                frame_counts[str(vid_fp.resolve())] = get_frame_count(vid_fp)
-            with open(d_split_path / "frame_counts.json", "w") as f:
-                json.dump(frame_counts, f)
+        for root in ["training", "testing"]:
+            idx.write_frame_counts(d_path / root,
+                                   (d_path / root).rglob("**/*.mp4"))

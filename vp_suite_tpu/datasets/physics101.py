@@ -1,17 +1,29 @@
 r"""Physics 101 dataset.
 
-Capability parity with ``vp_suite/datasets/physics101.py:12-96``: raw mp4s
-globbed per camera, seeded trainval/test shuffle-split, start/middle/end
-subsequence extraction.
+Capability parity with ``vp_suite/datasets/physics101.py:12-96``: one clip
+per experiment video (no windowing — each mp4 IS the item), camera selection
+by filename, a seeded trainval/test shuffle-split, and start/middle/end
+subsequence extraction applied AFTER temporal striding (reference order,
+``physics101.py:57-67``).
+
+Split semantics are the reference's; the shared machinery lives in
+:mod:`vp_suite_tpu.datasets._indexing`.
 """
 import os
 from pathlib import Path
 
-import numpy as np
-
 from vp_suite_tpu.base.base_dataset import VPDataset, VPData
+from vp_suite_tpu.datasets import _indexing as idx
 from vp_suite_tpu.defaults import SETTINGS
-from vp_suite_tpu.utils.utils import set_from_kwarg, seeded_shuffle_split, read_video
+from vp_suite_tpu.utils.utils import set_from_kwarg, read_video
+
+
+def _subseq_crop(frames, mode, n):
+    r"""Crops ``n`` frames from the start / middle / end of a clip."""
+    if mode == "end":
+        return frames[-n:]
+    off = (frames.shape[0] - n) // 2 if mode == "middle" else 0
+    return frames[off:off + n]
 
 
 class Physics101Dataset(VPDataset):
@@ -33,37 +45,31 @@ class Physics101Dataset(VPDataset):
     def __init__(self, split, **dataset_kwargs):
         super().__init__(split, **dataset_kwargs)
         self.NON_CONFIG_VARS.extend(["vid_filepaths"])
-
         set_from_kwarg(self, dataset_kwargs, "camera", choices=self.AVAILABLE_CAMERAS)
         set_from_kwarg(self, dataset_kwargs, "subseq", choices=self.AVAILABLE_SUBSEQ)
         set_from_kwarg(self, dataset_kwargs, "trainval_test_seed")
 
-        all_vids = sorted(Path(self.data_dir).rglob(f"**/{self.camera}.mp4"))
-        if not all_vids:
+        found = sorted(Path(self.data_dir).rglob(f"**/{self.camera}.mp4"))
+        if not found:
             raise FileNotFoundError(f"no {self.camera}.mp4 files under {self.data_dir}")
-        trainval, test = seeded_shuffle_split(all_vids, self.trainval_to_test_ratio,
-                                              self.trainval_test_seed)
-        self.vid_filepaths = trainval if self.split == "train" else test
-
-    def __getitem__(self, i) -> VPData:
-        vid_fp = self.vid_filepaths[i]
-        vid = read_video(vid_fp, num_frames=self.total_frames)  # [T, h, w, c]
-        if self.seq_step > 1:
-            vid = vid[::self.seq_step]
-        if self.subseq == "start":
-            vid = vid[:self.total_frames]
-        elif self.subseq == "end":
-            vid = vid[-self.total_frames:]
-        elif self.subseq == "middle":
-            frame_offset = (vid.shape[0] - self.total_frames) // 2
-            vid = vid[frame_offset:frame_offset + self.total_frames]
-        vid = self.preprocess(vid)
-        actions = np.zeros((self.total_frames, 1), dtype=np.float32)
-        return {"frames": vid, "actions": actions,
-                "origin": f"{vid_fp}, subseq mode: {self.subseq}"}
+        # 'train' here means the whole trainval pool (reference :45-50: the
+        # cut is trainval vs test, not train vs val)
+        pick = "train" if self.split == "train" else "val"
+        self.vid_filepaths = idx.split_members(found, pick,
+                                               self.trainval_to_test_ratio,
+                                               self.trainval_test_seed)
 
     def __len__(self):
         return len(self.vid_filepaths)
+
+    def __getitem__(self, i) -> VPData:
+        fp = self.vid_filepaths[i]
+        clip = read_video(fp, num_frames=self.total_frames)
+        if self.seq_step > 1:
+            clip = clip[::self.seq_step]
+        clip = _subseq_crop(clip, self.subseq, self.total_frames)
+        return idx.actionless_item(self, clip,
+                                   origin=f"{fp}, subseq mode: {self.subseq}")
 
     def download_and_prepare_dataset(self):
         d_path = self.DEFAULT_DATA_DIR

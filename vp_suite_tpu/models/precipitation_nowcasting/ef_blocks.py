@@ -68,7 +68,10 @@ class EncoderForecasterBase(VPModel):
     num_layers: int = 3
     interleaved_forecast: bool = False  #: run the forecaster as ONE per-step
     #: loop (cell step + stage deconv together) instead of per-stage batched
-    #: deconvs between whole-sequence scans. Numerically identical. Motivation:
+    #: deconvs between whole-sequence scans. Numerically identical — except
+    #: under TrajGRU ``zoneout > 0`` (default 0.0), where the per-step rng
+    #: stream draws masks in a different order than the staged form's single
+    #: whole-sequence draw. Motivation:
     #: the staged form makes XLA re-lay each [t, b, h, w, c] stage output
     #: between the batched deconv's layout and the (fully unrolled) scan's
     #: per-step layout (~8 x ~1 ms relayout copies per flagship train step,

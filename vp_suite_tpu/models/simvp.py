@@ -61,8 +61,18 @@ class SimVP(VPModel):
     hid_s: int = 64      #: per-frame spatial channels (encoder/decoder).
     hid_t: int = 256     #: translator channels.
     n_trans: int = 4     #: translator bottleneck blocks.
+    #: context window the translator consumes (its 1x1 input projection is
+    #: ``in_frames*hid_s`` wide, so — like UNet-3D's ``temporal_dim`` — this is
+    #: model ARCHITECTURE, not a run kwarg; longer contexts use the LAST
+    #: ``in_frames`` frames). Set it to the run's ``context_frames`` at
+    #: creation to consume the full context.
+    in_frames: int = 2
     out_frames: int = 10  #: one-shot horizon; longer rollouts chunk by this.
     gn_groups: int = 8   #: GroupNorm groups.
+
+    @property
+    def MIN_CONTEXT_FRAMES(self):  # noqa: N802  (same pattern as UNet-3D)
+        return self.in_frames
 
     def _gn(self, name, c):
         scale = self.param(f"{name}_scale", nn.initializers.ones, (c,))
@@ -72,13 +82,18 @@ class SimVP(VPModel):
     @nn.compact
     def __call__(self, x, pred_frames: int = 1, actions=None,
                  train: bool = False, **kwargs):
-        b, t_in = x.shape[:2]
+        b = x.shape[0]
         c, ih, iw = self.img_shape
         if x.shape[2:] != (ih, iw, c):
             raise ValueError(f"input image does not match specified size "
                              f"(input: {x.shape[2:]}, required: {(ih, iw, c)})")
         if ih % 4 or iw % 4:
             raise ValueError(f"img size {(ih, iw)} must be divisible by 4")
+        t_in = self.in_frames
+        if x.shape[1] < t_in:
+            raise ValueError(f"SimVP(in_frames={t_in}) needs at least {t_in} "
+                             f"context frames, got {x.shape[1]}")
+        x = x[:, -t_in:]  # the translator consumes the LAST in_frames frames
         hs, ht, t_out = self.hid_s, self.hid_t, self.out_frames
         eh, ew = ih // 4, iw // 4
         dt = jnp.dtype(self.compute_dtype)

@@ -56,7 +56,9 @@ from jax.experimental.pallas import tpu as pltpu
 #: Per-kernel VMEM budget. The default scoped limit (16M) OOMs at the 64x64
 #: flagship layer (measured: 25.45M needed — f32 roll temps + the 9-tap
 #: im2col + 4 f32 gate accumulators); 64M leaves the same headroom ratio
-#: while staying well under the chip's physical VMEM.
+#: while staying well under the chip's physical VMEM. NOTE: sized for the
+#: v5e target (128M physical VMEM); pre-v4 generations with 16M physical
+#: VMEM cannot run the 64x64 shapes regardless of this cap (ADVICE r4).
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 

@@ -41,15 +41,30 @@ _PT_LEGACY = 128  # legacy prebuilt-factor kernels keep the 128 tile so pixel
 # (a few pixels), while the dense kernels pay a full-image [H*W] contraction
 # per output tile. When every sample row offset |iy - oy| <= _BAND_R - 1 the
 # same warp touches only a (PT/W + 2R)-row band around each output tile — an
-# exact 2.7-3x FLOP cut at 64x64. A traced `lax.cond` guards the bound at
-# runtime and falls back to the dense kernels (e.g. for wild early-training
-# flows or NaNs), so numerics are identical either way.
+# exact 2.7-3x FLOP cut at 64x64.
+#
+# Two dispatch modes (VPT_WARP_BAND_MODE):
+#   'clamp' (default): the row indices are SATURATED into the band by a
+#     differentiable clip before the kernel, so the band kernels run
+#     unconditionally — no `lax.cond` in the scan body. Round-4 profiling
+#     attributed 45% of EF-TrajGRU's device self-time to the cond (each
+#     timestep's fwd+bwd conditional is a schedule barrier: the jnp.all
+#     predicate reduction must complete before either branch can start,
+#     and branch bodies can't overlap with surrounding ops). Semantics:
+#     trajectory row offsets saturate at ±(R-1) px per step (columns are
+#     unconstrained) — identical to the exact warp whenever flows stay in
+#     band, which trained MMF flows do by 2x margin (|dy| <= 3 vs R-1 = 7);
+#     out-of-band offsets warp from the nearest in-band row and get zero
+#     d_iy (standard clip subgradient).
+#   'cond': the previous behavior — a traced `lax.cond` checks the bound at
+#     runtime and falls back to the dense kernels (exact for wild flows).
 _BAND_R = int(os.environ.get("VPT_WARP_BAND_R", "8"))
 # narrower images get a tighter radius: at W=32 the full R=8 band covers 75%
 # of the image (24/32 rows) — R=4 halves that while (R*W) % 128 still holds;
 # trained MMF flows at half resolution stay well inside |dy| <= 3
 _BAND_R_BY_W = {32: int(os.environ.get("VPT_WARP_BAND_R32", "4"))}
 _BAND_ENABLED = os.environ.get("VPT_WARP_BAND", "1") != "0"
+_BAND_MODE = os.environ.get("VPT_WARP_BAND_MODE", "clamp")
 
 
 def _band_r(W):
@@ -199,6 +214,19 @@ def _band_possible(iy, img):
         return False
     out_rows, band_rows = _band_geom(w, _PT)
     return band_rows < h and (_band_r(w) * w) % 128 == 0
+
+
+def _band_bounds(P, W):
+    r"""Per-pixel saturation bounds for 'clamp' mode: row offsets beyond
+    ±(R-1) of the output row are clipped into the band."""
+    oy = (jnp.arange(P, dtype=jnp.float32) // W)[None, None, :]
+    r = float(_band_r(W)) - 1.0
+    return oy - r, oy + r
+
+
+def _clamp_rows(iy, W):
+    lo, hi = _band_bounds(iy.shape[-1], W)
+    return jnp.clip(iy, lo, hi)
 
 
 def _band_pred(iy, W):
@@ -388,6 +416,10 @@ def warp_sample(iy, ix, img):
 def _warp_sample_fwd_impl(iy, ix, img):
     if _fused_eligible(iy, img):
         if _band_possible(iy, img):
+            if _BAND_MODE == "clamp":
+                # branch-free: saturate rows into the band, band kernel always
+                return _warp_sample_pallas_band(_clamp_rows(iy, img.shape[2]),
+                                                ix, img)
             return lax.cond(_band_pred(iy, img.shape[2]),
                             _warp_sample_pallas_band, _warp_sample_pallas,
                             iy, ix, img)
@@ -424,6 +456,14 @@ def _warp_sample_bwd(res, g):
     iy, ix, img = res
     if _fused_eligible(iy, img):
         if _band_possible(iy, img):
+            if _BAND_MODE == "clamp":
+                W = img.shape[2]
+                d_iy, d_ix, d_img = _warp_sample_bwd_band(
+                    _clamp_rows(iy, W), ix, img, g)
+                # clip subgradient: saturated rows get zero index gradient
+                lo, hi = _band_bounds(iy.shape[-1], W)
+                d_iy = d_iy * ((iy >= lo) & (iy <= hi)).astype(d_iy.dtype)
+                return d_iy, d_ix, d_img
             return lax.cond(_band_pred(iy, img.shape[2]),
                             _warp_sample_bwd_band, _warp_sample_bwd_dense,
                             iy, ix, img, g)

@@ -449,7 +449,10 @@ class VPSuite:
             raise ValueError(f"Validation criterion '{config['val_rec_criterion']}' has "
                              f"to be one of the chosen losses: "
                              f"{list(config['losses_and_scales'].keys())}")
-        use_jit = "fvd" not in config["losses_and_scales"]
+        # fvd-as-loss is jittable too: FrechetVideoDistance routes traced
+        # inputs through the differentiable eigh-based wasserstein2_jax
+        # (parity: the reference FVD is loss-capable, fvd.py:22-24)
+        use_jit = True
         train_step = make_train_step(model, run_config, optimizer, loss_provider,
                                      use_jit=use_jit,
                                      accum_steps=run_config["accum_steps"])
@@ -669,8 +672,10 @@ class VPSuite:
                           optuna=optuna_config, **run_kwargs)
         try:
             import optuna
+            # AttributeError guard: the impl-match tier's ref_loader stubs an
+            # empty `optuna` into sys.modules for the torch reference's sake
             study = optuna.create_study(direction=run_config["opt_direction"])
-        except ImportError:
+        except (ImportError, AttributeError):
             # TPE-lite sampler (same algorithm family as optuna's default;
             # see training/hyperopt.py) — beats the old random-search fallback
             from vp_suite_tpu.training.hyperopt import TPEStudy
