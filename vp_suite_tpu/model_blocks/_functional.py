@@ -14,7 +14,17 @@ from vp_suite_tpu.nn.layers import torch_kernel_init, torch_bias_init, _pair
 
 
 def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, padding_mode="constant"):
-    r"""NHWC conv with torch Conv2d semantics. kernel: [kh, kw, in, out]."""
+    r"""NHWC conv with torch Conv2d semantics. kernel: [kh, kw, in, out].
+
+    Inside a :func:`vp_suite_tpu.parallel.spatial.spatial_halo_convs` context
+    (and for plain constant-padding dilation-1 convs), lowers to an explicit
+    halo-exchange ``shard_map`` region instead of letting XLA partition the
+    conv — the workaround for XLA's spatial-sharding miscompiles."""
+    from vp_suite_tpu.parallel.spatial import active_spatial, halo_conv2d
+    sp = active_spatial()
+    if sp is not None and x.ndim == 4 and padding_mode == "constant" \
+            and _pair(dilation) == (1, 1):
+        return halo_conv2d(x, kernel, bias, stride, padding, *sp)
     s = _pair(stride)
     p = _pair(padding)
     d = _pair(dilation)
@@ -33,7 +43,13 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, padding_mode="
 
 def conv_transpose2d(x, kernel, bias=None, stride=1, padding=0, output_padding=0):
     r"""NHWC transposed conv with torch ConvTranspose2d semantics.
-    kernel: [kh, kw, in, out]."""
+    kernel: [kh, kw, in, out]. Spatial-context routing: see :func:`conv2d`."""
+    from vp_suite_tpu.parallel.spatial import active_spatial, \
+        halo_conv_transpose2d
+    sp = active_spatial()
+    if sp is not None and x.ndim == 4:
+        return halo_conv_transpose2d(x, kernel, bias, stride, padding,
+                                     output_padding, *sp)
     k = (kernel.shape[0], kernel.shape[1])
     s = _pair(stride)
     p = _pair(padding)

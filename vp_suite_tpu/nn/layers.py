@@ -102,16 +102,24 @@ class Conv2d(nn.Module):
         in_c = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init,
                             (*k, in_c // self.feature_group_count, self.features))
-        if self.padding_mode == "constant":
-            pad = [(p[0], p[0]), (p[1], p[1])]
-        else:
-            x = _explicit_pad(x, p, self.padding_mode)
-            pad = [(0, 0), (0, 0)]
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype), window_strides=s, padding=pad,
-            rhs_dilation=d, feature_group_count=self.feature_group_count,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        from vp_suite_tpu.parallel.spatial import active_spatial, halo_conv2d
+        sp = active_spatial()
+        if sp is not None and x.ndim == 4 and self.padding_mode == "constant" \
+                and d == (1, 1) and self.feature_group_count == 1:
+            # spatial context: explicit halo-exchange shard_map conv (the
+            # workaround for XLA's spatial-sharding miscompiles)
+            y = halo_conv2d(x.astype(dtype), kernel, None, s, p, *sp)
+        else:
+            if self.padding_mode == "constant":
+                pad = [(p[0], p[0]), (p[1], p[1])]
+            else:
+                x = _explicit_pad(x, p, self.padding_mode)
+                pad = [(0, 0), (0, 0)]
+            y = lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype), window_strides=s, padding=pad,
+                rhs_dilation=d, feature_group_count=self.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             fan_in = in_c // self.feature_group_count * k[0] * k[1]
             bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
@@ -255,12 +263,20 @@ class ConvTranspose2d(nn.Module):
         op = _pair(self.output_padding)
         in_c = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init, (*k, in_c, self.features))
-        flipped = jnp.flip(kernel, axis=(0, 1))
-        pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(2)]
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype), flipped.astype(dtype), window_strides=(1, 1), padding=pad,
-            lhs_dilation=s, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        from vp_suite_tpu.parallel.spatial import active_spatial, \
+            halo_conv_transpose2d
+        sp = active_spatial()
+        if sp is not None and x.ndim == 4:
+            # spatial context: see Conv2d
+            y = halo_conv_transpose2d(x.astype(dtype), kernel, None, s, p,
+                                      op, *sp)
+        else:
+            flipped = jnp.flip(kernel, axis=(0, 1))
+            pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(2)]
+            y = lax.conv_general_dilated(
+                x.astype(dtype), flipped.astype(dtype), window_strides=(1, 1), padding=pad,
+                lhs_dilation=s, dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             # torch ConvTranspose bias bound uses fan_in = in_c * kh * kw
             fan_in = in_c * k[0] * k[1]

@@ -116,15 +116,26 @@ def check_train_mesh(mesh: Mesh):
     r"""Refuses meshes that are unsafe for TRAINING: an active spatial axis
     makes XLA double-count conv kernel gradients (factor = sp size) on this
     XLA version — silent corruption, see module docstring. Spatial meshes
-    remain fine for inference/eval (forward pass proven exact)."""
+    remain fine for inference/eval (forward pass proven exact).
+
+    Exception: inside a :func:`vp_suite_tpu.parallel.spatial.
+    spatial_halo_convs` context the convs lower to explicit halo-exchange
+    ``shard_map`` regions that XLA never partitions — the bug is sidestepped
+    and sp TRAINING is allowed (step-equivalence pinned in
+    ``tests/test_spatial.py``)."""
     sp = mesh.shape.get("sp", 1) if "sp" in mesh.axis_names else 1
     if sp > 1:
+        from vp_suite_tpu.parallel.spatial import active_spatial
+        if active_spatial() is not None:
+            return
         raise ValueError(
             f"mesh with active spatial axis (sp={sp}) is inference-only: "
             "XLA's SPMD partitioner doubles conv d_kernel under spatial "
             "sharding (silent wrong gradients; see parallel/mesh.py "
             "docstring). Train on a data x tp mesh "
-            "(factorize_mesh(n, strategy='tp')).")
+            "(factorize_mesh(n, strategy='tp')), or wrap tracing in "
+            "parallel.spatial.spatial_halo_convs(mesh) to train with "
+            "explicit halo-exchange convs.")
 
 
 def video_batch_sharding(mesh: Mesh):
