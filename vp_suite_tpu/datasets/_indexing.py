@@ -78,6 +78,22 @@ def read_strided_clip(fp, start, seq_len, seq_step, img_size=None):
     return frames[::seq_step]
 
 
+def fetch_and_extract_tar(root, tar_fname, base_url):
+    r"""Prepare-time helper: download ``base_url + tar_fname`` into ``root``
+    (skipped when the tarball is already present), extract it there, and
+    remove the archive."""
+    import os
+    import tarfile
+    tar_path = Path(root) / tar_fname
+    if not tar_path.exists():
+        from vp_suite_tpu.utils.utils import download_from_url
+        download_from_url(base_url + tar_fname, tar_path)
+    print("Extracting data...")
+    with tarfile.open(tar_path) as tar:
+        tar.extractall(root)
+    os.remove(tar_path)
+
+
 def actionless_item(dataset, clip, origin, transform=True):
     r"""Packs a decoded clip into the :class:`VPData` dict for datasets
     without real actions (zero action vectors, reference convention)."""

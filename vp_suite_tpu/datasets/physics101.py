@@ -9,7 +9,6 @@ subsequence extraction applied AFTER temporal striding (reference order,
 Split semantics are the reference's; the shared machinery lives in
 :mod:`vp_suite_tpu.datasets._indexing`.
 """
-import os
 from pathlib import Path
 
 from vp_suite_tpu.base.base_dataset import VPDataset, VPData
@@ -45,9 +44,10 @@ class Physics101Dataset(VPDataset):
     def __init__(self, split, **dataset_kwargs):
         super().__init__(split, **dataset_kwargs)
         self.NON_CONFIG_VARS.extend(["vid_filepaths"])
-        set_from_kwarg(self, dataset_kwargs, "camera", choices=self.AVAILABLE_CAMERAS)
-        set_from_kwarg(self, dataset_kwargs, "subseq", choices=self.AVAILABLE_SUBSEQ)
-        set_from_kwarg(self, dataset_kwargs, "trainval_test_seed")
+        for attr, choices in [("camera", self.AVAILABLE_CAMERAS),
+                              ("subseq", self.AVAILABLE_SUBSEQ),
+                              ("trainval_test_seed", None)]:
+            set_from_kwarg(self, dataset_kwargs, attr, choices=choices)
 
         found = sorted(Path(self.data_dir).rglob(f"**/{self.camera}.mp4"))
         if not found:
@@ -72,16 +72,9 @@ class Physics101Dataset(VPDataset):
                                    origin=f"{fp}, subseq mode: {self.subseq}")
 
     def download_and_prepare_dataset(self):
-        d_path = self.DEFAULT_DATA_DIR
-        d_path.mkdir(parents=True, exist_ok=True)
-        if len(list(d_path.rglob("**/*.mp4"))) == 0:
-            tar_fname = "phys101_v1.0.tar"
-            tar_path = d_path / tar_fname
-            if not tar_path.exists():
-                from vp_suite_tpu.utils.utils import download_from_url
-                download_from_url(f"http://phys101.csail.mit.edu/data/{tar_fname}", tar_path)
-            print("Extracting data...")
-            import tarfile
-            with tarfile.open(tar_path) as tar:
-                tar.extractall(d_path)
-            os.remove(tar_path)
+        root = self.DEFAULT_DATA_DIR
+        root.mkdir(parents=True, exist_ok=True)
+        if any(root.rglob("**/*.mp4")):
+            return  # already extracted
+        idx.fetch_and_extract_tar(root, "phys101_v1.0.tar",
+                                  "http://phys101.csail.mit.edu/data/")

@@ -11,7 +11,7 @@ MXU conv per stage — the reference does the same reshape,
 ``ef_blocks.py:67-71``); the recurrent blocks carry their state through
 ``lax.scan`` internally (see ``model_blocks/conv_lstm_shi.py``).
 """
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -66,23 +66,39 @@ class EncoderForecasterBase(VPModel):
     NAME = "Encoder-Forecaster Structure (Shi et al.)"
 
     num_layers: int = 3
-    interleaved_forecast: bool = False  #: run the forecaster as ONE per-step
-    #: loop (cell step + stage deconv together) instead of per-stage batched
-    #: deconvs between whole-sequence scans. Numerically identical — except
-    #: under TrajGRU ``zoneout > 0`` (default 0.0), where the per-step rng
-    #: stream draws masks in a different order than the staged form's single
-    #: whole-sequence draw. Motivation:
+    interleaved_forecast: Optional[bool] = None  #: run the forecaster as ONE
+    #: per-step loop (cell step + stage deconv together) instead of per-stage
+    #: batched deconvs between whole-sequence scans. Numerically identical —
+    #: except under TrajGRU ``zoneout > 0`` (default 0.0), where the per-step
+    #: rng stream draws masks in a different order than the staged form's
+    #: single whole-sequence draw. Motivation:
     #: the staged form makes XLA re-lay each [t, b, h, w, c] stage output
     #: between the batched deconv's layout and the (fully unrolled) scan's
     #: per-step layout (~8 x ~1 ms relayout copies per flagship train step,
     #: see STATUS.md); interleaving keeps every per-step tensor inside one
     #: consistently-laid-out subgraph. Only profitable when the per-layer
     #: scans would fully unroll anyway (pred_frames <= 20).
-    interleaved_encode: bool = False  #: same per-step restructuring for the
-    #: encoder (stage conv + cell step per context frame). Separate flag:
-    #: the encoder's stage convs batch over REAL frames, so interleaving
+    #: Default ``None`` = auto: interleave iff the sequence is inside the
+    #: full-unroll regime (<= 20 steps, same cap as ``auto_unroll``) AND no
+    #: rnn block uses zoneout — the round-5 TPU A/B made this the winner
+    #: (flagship 93.3 -> 77.2 ms/step, EF-TrajGRU 429.7 -> 382.1; STATUS.md).
+    interleaved_encode: Optional[bool] = None  #: same per-step restructuring
+    #: for the encoder (stage conv + cell step per context frame). Separate
+    #: flag: the encoder's stage convs batch over REAL frames, so interleaving
     #: them trades the t-times-larger MXU convs for the layout win — the
-    #: trade-off can differ from the forecaster's.
+    #: trade-off can differ from the forecaster's. ``None`` = same auto rule.
+
+    _INTERLEAVE_MAX_STEPS = 20  # matches _functional.auto_unroll's cap
+
+    def _resolve_interleave(self, flag, rnns, n_steps: int) -> bool:
+        r"""Auto-resolve an interleave flag: explicit True/False wins; None
+        interleaves iff the per-layer scans would fully unroll anyway and no
+        block draws zoneout masks (keeps the staged/interleaved rng parity)."""
+        if flag is not None:
+            return flag
+        if n_steps > self._INTERLEAVE_MAX_STEPS:
+            return False
+        return all(getattr(rnn, "zoneout", 0.0) == 0.0 for rnn in rnns)
 
     def _per_layer_params(self):
         r"""(name, value) pairs of enc_*/dec_* hyperparameters for length
@@ -150,7 +166,7 @@ class EncoderForecasterBase(VPModel):
         produce their natural layout with zero transposes. Returns per-stage
         final states."""
         t = x.shape[0]
-        if self.interleaved_encode:
+        if self._resolve_interleave(self.interleaved_encode, self.enc_rnns_list, t):
             # per-step loop (see interleaved_forecast): stage conv + cell
             # step per frame, carries threaded across the Python time loop.
             # Zero-init (states=None) on the first step == the scan's h0.
@@ -175,7 +191,8 @@ class EncoderForecasterBase(VPModel):
         input on the deepest stage (parity: ``ef_blocks.py:100-114``).
         Time-major throughout, like :meth:`encode`."""
         n = self.num_layers
-        if self.interleaved_forecast:
+        if self._resolve_interleave(self.interleaved_forecast, self.dec_rnns_list,
+                                    pred_frames):
             # one per-step loop: cell step + stage conv together so XLA lays
             # out the whole step consistently (no batched-conv <-> scan-slice
             # relayout copies). Same params, same math as the staged form.
