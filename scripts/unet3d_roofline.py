@@ -1,0 +1,162 @@
+r"""UNet-3D roofline: quantify the step-time floor the 50 ms bench sits on.
+
+Round-4 VERDICT #5 asks for the actual floor behind UNet-3D's 3.5% MFU:
+the trace shows 1,414 micro-fusions (avg 16 us) + 5,250 `copy-done` DMAs
+per step and MXU < 1% — an op-count/DMA diagnosis, not a bound. This script
+computes the bound from first principles on the real chip:
+
+1. **HBM floor** — post-optimization `compiled.cost_analysis()` bytes
+   accessed / measured achievable HBM bandwidth. The AR rollout is an
+   unrolled Python loop (no scan), so cost_analysis counts every op exactly
+   once per execution — no scan under-reporting (CLAUDE.md caveat N/A).
+2. **Dispatch floor** — the per-op issue overhead for the step's op count,
+   calibrated on-chip: a chain of N data-dependent tiny convs (convolutions
+   never fuse into each other) timed at N and 2N, marginal cost = per-op
+   overhead with RPC/dispatch constants cancelled.
+3. **Achievable HBM BW** — a big dependent-copy chain (reads+writes 2x its
+   bytes) timed the same marginal way.
+
+Floor = max(HBM floor, dispatch floor) .. their sum (the two serialize when
+ops are too small to overlap DMA with issue). The verdict line compares the
+measured step against that window.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/unet3d_roofline.py
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def _sync(x):
+    return float(np.asarray(x).ravel()[0])
+
+
+def _timed(fn, n):
+    r"""Wall seconds for n dependent iterations, synced by a host fetch."""
+    t0 = time.time()
+    _sync(fn(n))
+    return time.time() - t0
+
+
+def _marginal(fn, n):
+    r"""(T(2n) - T(n)) / n: per-iteration cost with constants cancelled."""
+    t1 = _timed(fn, n)
+    t2 = _timed(fn, 2 * n)
+    return (t2 - t1) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vp_suite_tpu.utils.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    # --- calibration 1: per-op dispatch/issue overhead ------------------
+    # a chain of data-dependent 1x1 convs on a tiny [8, 8, 8, 8] activation:
+    # each conv is its own HLO op (convs don't fuse into each other), bytes
+    # are negligible (4 KB), so the marginal cost IS the per-op overhead.
+    w = jnp.eye(8, dtype=jnp.float32).reshape(1, 1, 8, 8) * 0.999
+
+    def conv_chain(n):
+        @jax.jit
+        def run(x):
+            for _ in range(n):
+                x = jax.lax.conv_general_dilated(
+                    x, w, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return x[0, 0, 0]
+        x = jnp.ones((8, 8, 8, 8), jnp.float32)
+        run(x)  # compile
+        return run(x)
+
+    per_op_us = _marginal(conv_chain, 400) * 1e6
+    print(f"per-op issue overhead: {per_op_us:.2f} us", flush=True)
+
+    # --- calibration 2: achievable HBM bandwidth ------------------------
+    # dependent elementwise passes over a 256 MB tensor: each pass reads +
+    # writes the buffer (2x bytes).
+    big = jnp.ones((64, 1024, 1024), jnp.float32)  # 256 MB
+    nbytes = big.size * 4
+
+    def bw_chain(n):
+        @jax.jit
+        def run(x):
+            for _ in range(n):
+                x = x * 1.0000001 + 1e-9
+            return x[0, 0, 0]
+        run(big)
+        return run(big)
+
+    per_pass_s = _marginal(bw_chain, 8)
+    hbm_bw = 2 * nbytes / per_pass_s
+    print(f"achievable HBM BW: {hbm_bw / 1e9:.0f} GB/s", flush=True)
+
+    # --- the model step: bytes + op count + measured time ---------------
+    from bench import measure_ours
+    import optax
+    from vp_suite_tpu.models import MODEL_CLASSES
+    from vp_suite_tpu.training.train_state import create_train_state
+    from vp_suite_tpu.training.loop import make_train_step
+    from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
+
+    img, ctx, pred, batch = 64, 5, 10, 32
+    model = MODEL_CLASSES["unet-3d"](img_shape=(3, img, img), action_size=0,
+                                     tensor_value_range=(0.0, 1.0),
+                                     compute_dtype=jnp.bfloat16, remat=True,
+                                     temporal_dim=3)
+    run_config = {"context_frames": ctx, "pred_frames": pred,
+                  "use_actions": False}
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+    state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
+                               context_frames=ctx, pred_frames=pred)
+    loss_provider = PredictionLossProvider(
+        {"losses_and_scales": {"mse": 1.0}, "img_c": 3, "device": None})
+    train_step = make_train_step(model, run_config, optimizer, loss_provider,
+                                 donate=False, use_jit=False)
+    rng = np.random.RandomState(0)
+    batch_dev = {
+        "frames": jnp.asarray(rng.rand(batch, ctx + pred, img, img, 3),
+                              jnp.float32),
+        "actions": jnp.zeros((batch, ctx + pred, 1), jnp.float32),
+    }
+    epoch = jnp.asarray(0.0)
+    compiled = jax.jit(train_step).lower(state, batch_dev, epoch).compile()
+    ca = compiled.cost_analysis()
+    bytes_accessed = float(ca.get("bytes accessed", 0.0))
+    flops = float(ca.get("flops", 0.0))
+    hlo_ops = sum(1 for line in compiled.as_text().splitlines()
+                  if "= " in line and "parameter(" not in line
+                  and "constant(" not in line)
+    print(f"cost_analysis: {bytes_accessed / 1e9:.2f} GB accessed, "
+          f"{flops / 1e12:.2f} TFLOP, ~{hlo_ops} HLO ops", flush=True)
+
+    measured = measure_ours(model_id="unet-3d", steps=20)
+    step_ms = measured["train_step_ms"]
+
+    hbm_floor_ms = bytes_accessed / hbm_bw * 1e3
+    dispatch_floor_ms = hlo_ops * per_op_us / 1e3
+    floor_lo = max(hbm_floor_ms, dispatch_floor_ms)
+    floor_hi = hbm_floor_ms + dispatch_floor_ms
+    out = {
+        "model": "unet-3d",
+        "measured_step_ms": round(step_ms, 2),
+        "per_op_overhead_us": round(per_op_us, 2),
+        "achievable_hbm_gbps": round(hbm_bw / 1e9, 1),
+        "bytes_accessed_gb": round(bytes_accessed / 1e9, 3),
+        "hlo_op_count": hlo_ops,
+        "hbm_floor_ms": round(hbm_floor_ms, 2),
+        "dispatch_floor_ms": round(dispatch_floor_ms, 2),
+        "floor_window_ms": [round(floor_lo, 2), round(floor_hi, 2)],
+        "x_of_floor": round(step_ms / floor_lo, 2),
+    }
+    print(json.dumps(out, indent=2))
+    Path("/tmp/unet3d_roofline.json").write_text(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
