@@ -1,10 +1,10 @@
 #!/bin/bash
 # Re-probe the axon TPU tunnel every 20 min; on success run the round-4
-# measurement playbook (scripts/run_round4_tpu.sh). Logs: /tmp/r4_tpu/watch.log
+# measurement playbook (scripts/run_round5_tpu.sh). Logs: /tmp/r4_tpu/watch.log
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
-OUT=/tmp/r4_tpu
+OUT=/tmp/r5_tpu_watch
 mkdir -p "$OUT"
 log() { echo "[$(date -u +%H:%M:%S)] $*" >> "$OUT/watch.log"; }
 
@@ -22,7 +22,7 @@ print(float(np.asarray(jnp.dot(jnp.ones((8,8)),jnp.ones((8,8)))[0,0])))
       sleep 60
     done
     log "running playbook"
-    bash scripts/run_round4_tpu.sh >> "$OUT/playbook.log" 2>&1
+    bash scripts/run_round5_tpu.sh >> "$OUT/playbook.log" 2>&1
     log "playbook finished (exit=$?)"
     exit 0
   fi

@@ -103,7 +103,11 @@ def test_ef_interleaved_matches_staged(model_id, flags):
     killers — see ef_blocks.EncoderForecasterBase.interleaved_forecast /
     interleaved_encode) must be numerically identical to the staged
     per-stage-batched form."""
-    staged = _build(model_id)
+    # force-staged baseline: the flags default to None = auto, which resolves
+    # to interleaved at these short test sequences — without the explicit
+    # False the "staged" model would silently be interleaved too
+    staged = _build(model_id, interleaved_forecast=False,
+                    interleaved_encode=False)
     inter = _build(model_id, **flags)
     x = jnp.asarray(np.random.rand(B, CTX, IMG, IMG, 3).astype(np.float32))
     variables = staged.init({"params": jax.random.PRNGKey(0)}, x, pred_frames=PRED)
@@ -111,6 +115,30 @@ def test_ef_interleaved_matches_staged(model_id, flags):
     p_inter, _ = inter.apply(variables, x, pred_frames=PRED)
     np.testing.assert_allclose(np.asarray(p_staged), np.asarray(p_inter),
                                rtol=0, atol=1e-5)
+
+
+def test_ef_interleave_auto_rule():
+    r"""The None = auto interleave default (round-5 TPU A/B winner) must
+    resolve: ON inside the <=20-step full-unroll regime without zoneout,
+    OFF beyond the cap, OFF when any rnn block draws zoneout masks."""
+    x = jnp.asarray(np.random.rand(B, CTX, IMG, IMG, 3).astype(np.float32))
+
+    def resolve(m, n_steps):
+        variables = m.init({"params": jax.random.PRNGKey(0),
+                            "zoneout": jax.random.PRNGKey(1)}, x, pred_frames=2)
+        bound = m.bind(variables, rngs={"zoneout": jax.random.PRNGKey(1)})
+        return bound._resolve_interleave(m.interleaved_forecast,
+                                         bound.dec_rnns_list, n_steps)
+
+    model = _build("trajgru")
+    assert model.interleaved_forecast is None   # default is auto
+    assert resolve(model, 10) is True
+    assert resolve(model, 21) is False          # beyond the full-unroll cap
+    zo = _build("trajgru", dec_rnn_z=(0.1, 0.1, 0.1))
+    assert resolve(zo, 10) is False             # zoneout breaks rng parity
+    forced = _build("trajgru", interleaved_forecast=True,
+                    dec_rnn_z=(0.1, 0.1, 0.1))
+    assert resolve(forced, 999) is True         # explicit flag always wins
 
 
 def test_ef_rejects_wrong_output_size():
