@@ -22,9 +22,10 @@ from vp_suite_tpu.measure.loss_provider import PredictionLossProvider
 IMG, CTX, PRED = 16, 2, 2
 
 
-def _setup(n_dev, opt="adam"):
+def _setup(n_dev, opt="adam", **model_kwargs):
     model = MODEL_CLASSES["convlstm-shi"](img_shape=(3, IMG, IMG), action_size=0,
-                                          tensor_value_range=(0.0, 1.0))
+                                          tensor_value_range=(0.0, 1.0),
+                                          **model_kwargs)
     run_config = {"context_frames": CTX, "pred_frames": PRED, "use_actions": False}
     optimizer = optax.inject_hyperparams(getattr(optax, opt))(learning_rate=1e-3)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
@@ -164,14 +165,19 @@ def test_xla_sp_dkernel_doubling_is_still_present():
     all-reduces the 'partial' result over sp. Bias/peephole grads stay
     exact, so the forward and dy are fine; only d_kernel is corrupted.
     Minimal graphs (lone stride-2 conv, conv-in-remat-scan, conv_transpose)
-    do NOT trigger it. If this test FAILS, XLA fixed the bug — lift
-    check_train_mesh's sp guard and re-enable spatial training."""
+    do NOT trigger it — and neither does the INTERLEAVED EF graph (the
+    round-5 default; see test_sp_train_exact_on_interleaved_default), so the
+    pin runs the staged form explicitly. If this test FAILS, XLA fixed the
+    bug — lift check_train_mesh's sp guard and re-enable spatial training
+    for all graphs."""
     from vp_suite_tpu.parallel.mesh import check_train_mesh
     mesh = make_mesh_nd(factorize_mesh(4, "sp"))
     with pytest.raises(ValueError, match="inference-only"):
         check_train_mesh(mesh)
 
-    model, state0, step, batch_np = _setup(2, opt="sgd")
+    model, state0, step, batch_np = _setup(2, opt="sgd",
+                                           interleaved_forecast=False,
+                                           interleaved_encode=False)
     db1 = {k: jax.device_put(v) for k, v in batch_np.items()}
     s1, _ = step(state0, db1, jnp.asarray(0.0))
     state_sh, db_nd = _shard_state_and_batch_nd(mesh, state0, batch_np)
@@ -184,6 +190,29 @@ def test_xla_sp_dkernel_doubling_is_still_present():
         f"sp-sharded train step now matches single-device (max|d|={max_d}) "
         "— the XLA d_kernel doubling bug is fixed; lift the sp guard in "
         "parallel/mesh.py check_train_mesh")
+
+
+def test_sp_train_exact_on_interleaved_default():
+    r"""The INTERLEAVED EF graph (the auto-default since round 5) does NOT
+    trigger the XLA sp d_kernel doubling: a spatially-sharded train step
+    matches single-device to float tolerance with plain XLA SPMD partitioning
+    (no halo-exchange rewrite needed). The staged graph remains corrupted
+    (see the pin above), so check_train_mesh keeps its guard — this test
+    documents the interleaved carve-out and will keep it honest if the
+    interleaved lowering ever changes."""
+    mesh = make_mesh_nd(factorize_mesh(4, "sp"))
+    model, state0, step, batch_np = _setup(2, opt="sgd",
+                                           interleaved_forecast=True,
+                                           interleaved_encode=True)
+    db1 = {k: jax.device_put(v) for k, v in batch_np.items()}
+    s1, m1 = step(state0, db1, jnp.asarray(0.0))
+    state_sh, db_nd = _shard_state_and_batch_nd(mesh, state0, batch_np)
+    s_sp, m_sp = step(state_sh, db_nd, jnp.asarray(0.0))
+
+    assert abs(float(m1["total"]) - float(m_sp["total"])) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_tp_actually_shards_gate_kernels():

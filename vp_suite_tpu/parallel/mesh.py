@@ -122,7 +122,14 @@ def check_train_mesh(mesh: Mesh):
     spatial_halo_convs` context the convs lower to explicit halo-exchange
     ``shard_map`` regions that XLA never partitions — the bug is sidestepped
     and sp TRAINING is allowed (step-equivalence pinned in
-    ``tests/test_spatial.py``)."""
+    ``tests/test_spatial.py``).
+
+    Note: the INTERLEAVED EF graph (the auto-default since round 5) happens
+    not to trigger the doubling either — sp train == single-device at 1e-5
+    (``tests/test_parallel.py::test_sp_train_exact_on_interleaved_default``).
+    The guard still refuses generic sp training because it cannot see which
+    graph will be traced; use ``spatial_halo_convs`` for the sanctioned
+    path."""
     sp = mesh.shape.get("sp", 1) if "sp" in mesh.axis_names else 1
     if sp > 1:
         from vp_suite_tpu.parallel.spatial import active_spatial
