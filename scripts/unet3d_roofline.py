@@ -36,17 +36,26 @@ def _sync(x):
     return float(np.asarray(x).ravel()[0])
 
 
-def _timed(fn, n):
-    r"""Wall seconds for n dependent iterations, synced by a host fetch."""
-    t0 = time.time()
-    _sync(fn(n))
-    return time.time() - t0
+def _timed(make, n, reps=3):
+    r"""Wall seconds for one n-iteration program execution, synced by a host
+    fetch. ``make(n)`` returns a zero-arg callable whose jit program is
+    ALREADY compiled and warmed — compile time (minutes via the remote
+    compile server) must never sit inside the timed region. Median of reps."""
+    call = make(n)
+    _sync(call())  # warm (cache hits, allocs)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        _sync(call())
+        ts.append(time.time() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
-def _marginal(fn, n):
+def _marginal(make, n):
     r"""(T(2n) - T(n)) / n: per-iteration cost with constants cancelled."""
-    t1 = _timed(fn, n)
-    t2 = _timed(fn, 2 * n)
+    t1 = _timed(make, n)
+    t2 = _timed(make, 2 * n)
     return (t2 - t1) / n
 
 
@@ -71,15 +80,16 @@ def main():
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return x[0, 0, 0]
         x = jnp.ones((8, 8, 8, 8), jnp.float32)
-        run(x)  # compile
-        return run(x)
+        _sync(run(x))  # compile OUTSIDE any timed region
+        return lambda: run(x)
 
     per_op_us = _marginal(conv_chain, 400) * 1e6
     print(f"per-op issue overhead: {per_op_us:.2f} us", flush=True)
 
     # --- calibration 2: achievable HBM bandwidth ------------------------
     # dependent elementwise passes over a 256 MB tensor: each pass reads +
-    # writes the buffer (2x bytes).
+    # writes the buffer (2x bytes). optimization_barrier between passes stops
+    # XLA fusing the chain into one kernel (which would touch HBM only once).
     big = jnp.ones((64, 1024, 1024), jnp.float32)  # 256 MB
     nbytes = big.size * 4
 
@@ -87,12 +97,12 @@ def main():
         @jax.jit
         def run(x):
             for _ in range(n):
-                x = x * 1.0000001 + 1e-9
+                x = jax.lax.optimization_barrier(x * 1.0000001)
             return x[0, 0, 0]
-        run(big)
-        return run(big)
+        _sync(run(big))  # compile OUTSIDE any timed region
+        return lambda: run(big)
 
-    per_pass_s = _marginal(bw_chain, 8)
+    per_pass_s = _marginal(bw_chain, 32)
     hbm_bw = 2 * nbytes / per_pass_s
     print(f"achievable HBM BW: {hbm_bw / 1e9:.0f} GB/s", flush=True)
 
