@@ -61,8 +61,14 @@ _PT_LEGACY = 128  # legacy prebuilt-factor kernels keep the 128 tile so pixel
 _BAND_R = int(os.environ.get("VPT_WARP_BAND_R", "8"))
 # narrower images get a tighter radius: at W=32 the full R=8 band covers 75%
 # of the image (24/32 rows) — R=4 halves that while (R*W) % 128 still holds;
-# trained MMF flows at half resolution stay well inside |dy| <= 3
-_BAND_R_BY_W = {32: int(os.environ.get("VPT_WARP_BAND_R32", "4"))}
+# trained MMF flows at half resolution stay well inside |dy| <= 3.
+# W=64 runs R=6: the m-build outer product (the kernels' VPU bound) costs
+# band_px = PT + 2RW per output pixel, so R 8->6 cuts the dominant 64x64
+# layer's build by 20% — measured 382.1 -> 362.6 ms/step on the EF-TrajGRU
+# bench (clamp bound R-1 = 5 still 1.7x the |dy| <= 3 envelope of trained
+# MMF flows; (6*64) % 128 == 0 keeps the lane slices aligned).
+_BAND_R_BY_W = {32: int(os.environ.get("VPT_WARP_BAND_R32", "4")),
+                64: int(os.environ.get("VPT_WARP_BAND_R64", "6"))}
 _BAND_ENABLED = os.environ.get("VPT_WARP_BAND", "1") != "0"
 _BAND_MODE = os.environ.get("VPT_WARP_BAND_MODE", "clamp")
 
