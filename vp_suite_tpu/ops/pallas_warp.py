@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-_PT = 256  # output-pixel tile (two 128-lane registers per op; fewer, larger programs)
+_PT = int(os.environ.get("VPT_WARP_PT", "256"))  # output-pixel tile (two
+# 128-lane registers per op; fewer, larger programs). Env knob for on-chip
+# A/Bs: the band kernels' VPU build costs PT + 2RW per output pixel, so a
+# smaller tile trades MXU tile size + program count for less build work.
 _PT_LEGACY = 128  # legacy prebuilt-factor kernels keep the 128 tile so pixel
 # counts divisible by 128 (but not 256) still hit the TPU path
 
