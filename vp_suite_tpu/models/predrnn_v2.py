@@ -54,8 +54,12 @@ class PredRNN_V2(VPModel):
     conv_actions_on_input: bool = True
     residual_on_action_conv: bool = True
 
-    scan_unroll: int = 1  #: time-loop unroll; 0 = auto full unroll for
-    #: short sequences (see ``model_blocks._functional.auto_unroll``).
+    scan_unroll: int = 0  #: time-loop unroll; 0 (default) = auto FULL unroll
+    #: for short sequences (see ``model_blocks._functional.auto_unroll``).
+    #: Round-5 TPU A/B at the bench config (14 scan steps, b32 KTH-shaped):
+    #: unroll-1 157.2 ms / unroll-2 173.3 ms / FULL 142.8 ms (3,362 f/s,
+    #: 88.4% MFU) — the flat graph removes the scan-boundary relayout copies
+    #: that were 23% of the step (scripts/bench_predrnn_unroll.py).
     reverse_input: bool = True
     decoupling_loss_scale: float = 100.0
     scheduled_sampling: bool = True
