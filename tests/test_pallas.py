@@ -13,6 +13,20 @@ import pytest
 from jax.experimental import pallas as pl
 
 
+@pytest.fixture(autouse=True)
+def _pin_warp_tile():
+    r"""Pin the warp pixel tile to the 256 these interpret tests were
+    written around: the production default is 512 (TPU-measured sweet spot,
+    see ``pallas_warp._PT``) and direct kernel calls on the tests' 16x16
+    (P=256) images would read past the block. In production the dispatch
+    guards ``P % _PT == 0`` and takes the exact fallback instead."""
+    from vp_suite_tpu.ops import pallas_warp as pw
+    orig = pw._PT
+    pw._PT = 256
+    yield
+    pw._PT = orig
+
+
 @pytest.fixture()
 def pallas_interpret():
     orig = pl.pallas_call

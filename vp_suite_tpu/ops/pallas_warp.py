@@ -33,10 +33,14 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-_PT = int(os.environ.get("VPT_WARP_PT", "256"))  # output-pixel tile (two
-# 128-lane registers per op; fewer, larger programs). Env knob for on-chip
-# A/Bs: the band kernels' VPU build costs PT + 2RW per output pixel, so a
-# smaller tile trades MXU tile size + program count for less build work.
+_PT = int(os.environ.get("VPT_WARP_PT", "512"))  # output-pixel tile.
+# Larger tiles mean fewer programs (less per-program startup/dispatch) but
+# more VPU factor-build work (band kernels build PT + 2RW elements per
+# output pixel). Round-5 EF-TrajGRU bench sweep (ms/step, R=6 at W=64):
+# PT=128: 449.6 / 256: 362.6 / **512: 344.7** / 1024: 376.9 — program
+# overhead dominates below 512, the m-build above it. At PT=512 a 16x16
+# layer (P=256) no longer divides the tile and takes the exact einsum
+# fallback — included in the measured win.
 _PT_LEGACY = 128  # legacy prebuilt-factor kernels keep the 128 tile so pixel
 # counts divisible by 128 (but not 256) still hit the TPU path
 
